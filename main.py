@@ -1,0 +1,41 @@
+"""CLI entry point (parity with /root/reference/main.py:11-25).
+
+Usage:
+    python main.py expname=run1 pipeline=mat_invent model=diffcsp reward=hhi \
+        logger=csv rl_epoch=120 eval_size=16 [key.path=value ...]
+
+Composes the config tree under ./configs, chdirs into the run directory
+(<results_dir>/<expname>), persists the resolved config as hparams.yaml, then
+instantiates and runs the pipeline.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from matinvent_tpu.pipeline.logger import setup_logging
+from matinvent_tpu.utils.config import instantiate, load_config, save_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+
+
+def main(argv: list[str]) -> None:
+    setup_logging()
+    cfg = load_config(CONFIG_DIR, "base", overrides=argv)
+
+    run_dir = os.path.join(cfg.get("results_dir", "exp_res"), cfg.get("expname", "test"))
+    os.makedirs(run_dir, exist_ok=True)
+    os.chdir(run_dir)
+    save_config(cfg, "hparams.yaml")
+
+    model_suite = instantiate(cfg["model"])
+    reward = instantiate(cfg["reward"])
+    logger = instantiate(cfg["logger"])
+    reinl = instantiate(
+        cfg["pipeline"], model_suite=model_suite, reward=reward, logger=logger
+    )
+    reinl.run_rl()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

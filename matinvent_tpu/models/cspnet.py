@@ -1,0 +1,193 @@
+"""CSPNet: periodic-graph EGNN score network, re-designed for TPU.
+
+Capability parity with /root/reference/models/diffcsp/cspnet.py:94-294
+(CSPNet/CSPLayer/SinusoidsEmbedding), restructured TPU-first:
+
+* Edges are the **dense fully-connected graph per crystal** as a masked
+  ``[B, A, A, ...]`` tensor — this matches the reference's default
+  ``edge_style='fc'`` semantics (block-diag ones incl. self-loops,
+  cspnet.py:238-242) while avoiding ragged gather/scatter entirely; all
+  aggregation is a masked mean the XLA fuses into the surrounding matmuls.
+* The first edge-MLP layer is algebraically decomposed: for input
+  ``concat(h_i, h_j, lattice_ip, dist_emb)`` the matmul splits into two
+  ``[B, A, H]`` node terms (broadcast over the other atom axis), one ``[B, H]``
+  lattice term and a single true ``[B, A, A, E]`` matmul over the distance
+  embedding — >4x FLOP reduction on the dominant op with bit-identical math.
+  The parameter layout stays a single fused kernel, so torch checkpoints map
+  1:1.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from matinvent_tpu.models.batch import MAX_ATOMIC_NUM
+from matinvent_tpu.ops.segment import masked_mean
+
+
+def sinusoids_embedding(x: jax.Array, n_frequencies: int = 10) -> jax.Array:
+    """Fourier embedding of periodic offsets (cspnet.py:12-24 parity).
+
+    Args:
+        x: ``[..., n_space]`` periodic differences.
+    Returns:
+        ``[..., n_frequencies * 2 * n_space]`` with layout
+        ``concat(sin(x ⊗ f), cos(x ⊗ f))`` where the inner reshape is
+        space-major (matching the reference's ``.reshape(-1, F * S)``).
+    """
+    freqs = 2 * math.pi * jnp.arange(n_frequencies, dtype=x.dtype)
+    emb = x[..., None] * freqs  # [..., S, F]
+    emb = emb.reshape(*x.shape[:-1], x.shape[-1] * n_frequencies)
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class CSPLayer(nn.Module):
+    """One message-passing layer over the dense masked edge tensor."""
+
+    hidden_dim: int = 128
+    num_freqs: int = 10
+    use_dis_emb: bool = True
+    ln: bool = False
+    ip: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        node_features: jax.Array,  # [B, A, H]
+        frac_diff: jax.Array,  # [B, A, A, 3]  (x_j - x_i) mod 1
+        lattice: jax.Array,  # [B, 3, 3]
+        mask: jax.Array,  # [B, A]
+        num_atoms: jax.Array,  # [B]
+    ) -> jax.Array:
+        H = self.hidden_dim
+        dis_dim = self.num_freqs * 2 * 3 if self.use_dis_emb else 3
+        node_input = node_features
+        if self.ln:
+            node_features = nn.LayerNorm(name="layer_norm")(node_features)
+
+        if self.use_dis_emb:
+            dist = sinusoids_embedding(frac_diff, self.num_freqs)  # [B,A,A,E]
+        else:
+            dist = frac_diff
+
+        if self.ip:
+            lattice_ips = jnp.einsum(
+                "bij,bkj->bik", lattice, lattice, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            lattice_ips = lattice
+        lattice_flat = lattice_ips.reshape(-1, 9)  # [B, 9]
+
+        # Fused first edge-MLP kernel over concat(h_i, h_j, lat9, dist); stored
+        # as one parameter for checkpoint parity, applied decomposed.
+        in_dim = 2 * H + 9 + dis_dim
+        w = self.param(
+            "edge_mlp_0_kernel",
+            nn.initializers.lecun_normal(),
+            (in_dim, H),
+            node_features.dtype,
+        )
+        b = self.param("edge_mlp_0_bias", nn.initializers.zeros, (H,), node_features.dtype)
+        w_i, w_j, w_l, w_d = jnp.split(w, [H, 2 * H, 2 * H + 9], axis=0)
+        term_i = node_features @ w_i  # [B, A, H] -> broadcast over j
+        term_j = node_features @ w_j  # [B, A, H] -> broadcast over i
+        term_l = lattice_flat @ w_l  # [B, H]
+        term_d = dist @ w_d  # [B, A, A, H] (the only true edge matmul)
+        edge = (
+            term_i[:, :, None, :]
+            + term_j[:, None, :, :]
+            + term_l[:, None, None, :]
+            + term_d
+            + b
+        )
+        edge = nn.silu(edge)
+        edge = nn.silu(nn.Dense(H, name="edge_mlp_1")(edge))
+
+        # Aggregate at node i over all j in the same graph (self-loop incl.):
+        # masked mean with denominator num_atoms (scatter-mean parity).
+        edge = edge * mask[:, None, :, None].astype(edge.dtype)
+        agg = jnp.sum(edge, axis=2) / jnp.maximum(num_atoms, 1).astype(edge.dtype)[:, None, None]
+
+        out = jnp.concatenate([node_features, agg], axis=-1)
+        out = nn.silu(nn.Dense(H, name="node_mlp_0")(out))
+        out = nn.silu(nn.Dense(H, name="node_mlp_1")(out))
+        return node_input + out
+
+
+class CSPNet(nn.Module):
+    """Joint lattice/coord/type score network (cspnet.py:94-294 parity)."""
+
+    hidden_dim: int = 128
+    latent_dim: int = 256
+    num_layers: int = 4
+    max_atoms: int = MAX_ATOMIC_NUM  # type vocabulary size
+    num_freqs: int = 10
+    use_dis_emb: bool = True
+    ln: bool = False
+    ip: bool = True
+    smooth: bool = True  # diffusion uses relaxed one-hot "probs" inputs
+    pred_type: bool = True
+    pred_scalar: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        t_emb: jax.Array,  # [B, latent_dim]
+        atom_feats: jax.Array,  # [B, A, K] probs (smooth) or [B, A] int types
+        frac_coords: jax.Array,  # [B, A, 3]
+        lattice: jax.Array,  # [B, 3, 3]
+        num_atoms: jax.Array,  # [B]
+        mask: jax.Array,  # [B, A]
+    ):
+        if self.smooth:
+            node = nn.Dense(self.hidden_dim, name="node_embedding")(atom_feats)
+        else:
+            node = nn.Embed(self.max_atoms, self.hidden_dim, name="node_embedding")(
+                atom_feats - 1
+            )
+
+        t_per_atom = jnp.broadcast_to(
+            t_emb[:, None, :], (node.shape[0], node.shape[1], t_emb.shape[-1])
+        )
+        node = jnp.concatenate([node, t_per_atom], axis=-1)
+        node = nn.Dense(self.hidden_dim, name="atom_latent_emb")(node)
+
+        # (x_j - x_i) mod 1 over the dense fc edge tensor.
+        frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
+
+        for i in range(self.num_layers):
+            node = CSPLayer(
+                hidden_dim=self.hidden_dim,
+                num_freqs=self.num_freqs,
+                use_dis_emb=self.use_dis_emb,
+                ln=self.ln,
+                ip=self.ip,
+                name=f"csp_layer_{i}",
+            )(node, frac_diff, lattice, mask, num_atoms)
+
+        if self.ln:
+            node = nn.LayerNorm(name="final_layer_norm")(node)
+
+        coord_out = nn.Dense(3, use_bias=False, name="coord_out")(node)
+
+        graph_features = masked_mean(node, mask[..., None], axis=1)  # [B, H]
+
+        if self.pred_scalar:
+            return nn.Dense(1, name="scalar_out")(graph_features)
+
+        lattice_out = nn.Dense(9, use_bias=False, name="lattice_out")(graph_features)
+        lattice_out = lattice_out.reshape(-1, 3, 3)
+        if self.ip:
+            lattice_out = jnp.einsum(
+                "bij,bjk->bik", lattice_out, lattice, precision=jax.lax.Precision.HIGHEST
+            )
+
+        if self.pred_type:
+            type_out = nn.Dense(self.max_atoms, name="type_out")(node)
+            return lattice_out, coord_out, type_out
+
+        return lattice_out, coord_out

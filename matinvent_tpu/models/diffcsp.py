@@ -1,0 +1,408 @@
+"""DiffCSP-class joint diffusion module (TPU-native).
+
+Capability parity with /root/reference/models/diffcsp/diffusion.py:69-456
+(DiffCSPModule: add_noise / calc_sample_loss / calc_kl_reg / sample /
+forward_logprb) re-designed TPU-first:
+
+* the 1000-step predictor-corrector reverse diffusion is a single
+  ``lax.scan`` inside one jit — no host sync per step;
+* the RL finetune inner loop (reference: 1000 sequential per-timestep
+  backward passes, grad-accum 50 — pipeline/mat_invent.py:150-170) becomes a
+  scan over accumulation *chunks*, each chunk vmapping the per-timestep loss —
+  same update semantics, ~50x fewer sequential steps;
+* explicit PRNG keys everywhere (fold_in per timestep) for per-chip
+  determinism under sharding.
+
+Diffusion fields (joint): DDPM/VP on the lattice, score-matching
+wrapped-normal on fractional coords, Gaussian-relaxed one-hot atom types.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from matinvent_tpu.models.batch import MAX_ATOMIC_NUM, CrystalBatch
+from matinvent_tpu.models.cspnet import CSPNet
+from matinvent_tpu.ops.schedules import BetaSchedule, SigmaSchedule
+from matinvent_tpu.ops.segment import graph_mean
+from matinvent_tpu.ops.wrapped_normal import (
+    d_log_p_wrapped_normal,
+    log_prob_wrapped_normal,
+)
+
+
+def sinusoidal_time_embedding(times: jax.Array, dim: int) -> jax.Array:
+    """Transformer-style time embedding (diffusion.py:53-66 parity)."""
+    half_dim = dim // 2
+    factor = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -factor)
+    emb = times.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class NoisedInput(NamedTuple):
+    """Inputs to the score network after corruption."""
+
+    time_emb: jax.Array  # [B, time_dim]
+    atom_probs: jax.Array  # [B, A, K]
+    frac_coords: jax.Array  # [B, A, 3]
+    lattice: jax.Array  # [B, 3, 3]
+
+
+class NoiseTargets(NamedTuple):
+    rand_l: jax.Array  # [B, 3, 3]
+    tar_x: jax.Array  # [B, A, 3] normalized wrapped-normal score target
+    rand_t: jax.Array  # [B, A, K]
+
+
+@struct.dataclass
+class DiffCSPConfig:
+    hidden_dim: int = struct.field(pytree_node=False, default=128)
+    num_layers: int = struct.field(pytree_node=False, default=4)
+    time_dim: int = struct.field(pytree_node=False, default=256)
+    num_freqs: int = struct.field(pytree_node=False, default=10)
+    ln: bool = struct.field(pytree_node=False, default=False)
+    ip: bool = struct.field(pytree_node=False, default=True)
+    timesteps: int = struct.field(pytree_node=False, default=1000)
+    scheduler_mode: str = struct.field(pytree_node=False, default="cosine")
+    sigma_begin: float = struct.field(pytree_node=False, default=0.01)
+    sigma_end: float = struct.field(pytree_node=False, default=1.0)
+    cost_lattice: float = struct.field(pytree_node=False, default=1.0)
+    cost_coord: float = struct.field(pytree_node=False, default=1.0)
+    cost_type: float = struct.field(pytree_node=False, default=1.0)
+    max_atomic_num: int = struct.field(pytree_node=False, default=MAX_ATOMIC_NUM)
+    # Optional sampling-time guard: clip the unbounded diffusion channels
+    # (lattice entries + type logits) to +/- this value inside the reverse
+    # scan. The ip-coupled lattice head makes the DDPM recursion
+    # multiplicative, so an untrained/diverging net can blow up to inf; a
+    # trained model stays far below any sensible clip. None disables.
+    sample_clip: float | None = struct.field(pytree_node=False, default=None)
+
+
+class DiffCSPDiffusion:
+    """Joint lattice/coord/type diffusion over padded crystal batches."""
+
+    def __init__(self, config: DiffCSPConfig | None = None):
+        self.config = config or DiffCSPConfig()
+        c = self.config
+        self.net = CSPNet(
+            hidden_dim=c.hidden_dim,
+            latent_dim=c.time_dim,
+            num_layers=c.num_layers,
+            max_atoms=c.max_atomic_num,
+            num_freqs=c.num_freqs,
+            ln=c.ln,
+            ip=c.ip,
+            smooth=True,
+            pred_type=True,
+        )
+        self.beta = BetaSchedule.create(c.timesteps, c.scheduler_mode)
+        self.sigma = SigmaSchedule.create(c.timesteps, c.sigma_begin, c.sigma_end)
+        self.keep_lattice = c.cost_lattice < 1e-5
+        self.keep_coords = c.cost_coord < 1e-5
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key: jax.Array, batch_size: int = 2, max_atoms: int = 8):
+        c = self.config
+        dummy = NoisedInput(
+            time_emb=jnp.zeros((batch_size, c.time_dim)),
+            atom_probs=jnp.zeros((batch_size, max_atoms, c.max_atomic_num)),
+            frac_coords=jnp.zeros((batch_size, max_atoms, 3)),
+            lattice=jnp.eye(3)[None].repeat(batch_size, 0),
+        )
+        num_atoms = jnp.full((batch_size,), max_atoms, jnp.int32)
+        mask = jnp.ones((batch_size, max_atoms), bool)
+        return self.net.init(
+            key, dummy.time_emb, dummy.atom_probs, dummy.frac_coords, dummy.lattice,
+            num_atoms, mask,
+        )
+
+    def apply_net(self, params, noised: NoisedInput, num_atoms, mask):
+        return self.net.apply(
+            params,
+            noised.time_emb,
+            noised.atom_probs,
+            noised.frac_coords,
+            noised.lattice,
+            num_atoms,
+            mask,
+        )
+
+    # ------------------------------------------------------------- corruption
+    def add_noise(
+        self,
+        key: jax.Array,
+        batch: CrystalBatch,
+        t_index: jax.Array | int | None = None,
+    ) -> tuple[NoisedInput, NoiseTargets, jax.Array]:
+        """Corrupt a clean batch at an RL timestep (diffusion.py:81-119 parity).
+
+        ``t_index`` follows the reference convention: integer index into the
+        *descending* time array ``arange(T, 0, -1)``; i.e. ``t_index=0`` is the
+        noisiest step ``t=T``. ``None`` samples t uniformly from 1..T.
+        """
+        c = self.config
+        B = batch.batch_size
+        k_t, k_l, k_x, k_type = jax.random.split(key, 4)
+
+        if t_index is None:
+            times = self.beta.uniform_sample_t(k_t, B)
+        else:
+            times = jnp.full((B,), self.config.timesteps - jnp.asarray(t_index), jnp.int32)
+        time_emb = sinusoidal_time_embedding(times, c.time_dim)
+
+        alphas_cumprod = self.beta.alphas_cumprod[times]
+        c0 = jnp.sqrt(alphas_cumprod)
+        c1 = jnp.sqrt(1.0 - alphas_cumprod)
+
+        sigmas = self.sigma.sigmas[times]
+        sigmas_norm = self.sigma.sigmas_norm[times]
+
+        rand_l = jax.random.normal(k_l, batch.lattice.shape)
+        rand_x = jax.random.normal(k_x, batch.frac_coords.shape)
+
+        input_lattice = c0[:, None, None] * batch.lattice + c1[:, None, None] * rand_l
+        sigmas_per_atom = sigmas[:, None, None]
+        input_frac = (batch.frac_coords + sigmas_per_atom * rand_x) % 1.0
+
+        gt_onehot = batch.atom_onehot(c.max_atomic_num)
+        rand_t = jax.random.normal(k_type, gt_onehot.shape)
+        atom_type_probs = c0[:, None, None] * gt_onehot + c1[:, None, None] * rand_t
+
+        tar_x = d_log_p_wrapped_normal(
+            sigmas_per_atom * rand_x, sigmas_per_atom
+        ) / jnp.sqrt(sigmas_norm)[:, None, None]
+
+        noised = NoisedInput(time_emb, atom_type_probs, input_frac, input_lattice)
+        targets = NoiseTargets(rand_l, tar_x, rand_t)
+        return noised, targets, times
+
+    # ----------------------------------------------------------------- losses
+    def sample_losses(
+        self,
+        params,
+        noised: NoisedInput,
+        targets: NoiseTargets,
+        num_atoms: jax.Array,
+        mask: jax.Array,
+    ) -> tuple[jax.Array, tuple]:
+        """Per-crystal diffusion losses ``[B]`` (diffusion.py:121-138 parity)."""
+        c = self.config
+        pred_l, pred_x, pred_t = self.apply_net(params, noised, num_atoms, mask)
+
+        loss_lattice = jnp.mean((pred_l - targets.rand_l) ** 2, axis=(1, 2))
+        per_atom_coord = jnp.mean((pred_x - targets.tar_x) ** 2, axis=-1)
+        loss_coord = graph_mean(per_atom_coord, mask)
+        per_atom_type = jnp.mean((pred_t - targets.rand_t) ** 2, axis=-1)
+        loss_type = graph_mean(per_atom_type, mask)
+
+        loss = (
+            c.cost_lattice * loss_lattice
+            + c.cost_coord * loss_coord
+            + c.cost_type * loss_type
+        )
+        return loss, (pred_l, pred_x, pred_t)
+
+    def kl_reg(self, agent_pred, prior_pred, mask: jax.Array) -> jax.Array:
+        """MSE-style KL surrogate between agent and frozen-prior predictions
+        (diffusion.py:140-149 parity). Prior predictions are stop-gradient'd."""
+        pred_l, pred_x, pred_t = agent_pred
+        pred_l_p, pred_x_p, pred_t_p = jax.tree.map(jax.lax.stop_gradient, prior_pred)
+        kl0 = jnp.mean((pred_l - pred_l_p) ** 2, axis=(1, 2))
+        kl1 = graph_mean(jnp.mean((pred_x - pred_x_p) ** 2, axis=-1), mask)
+        kl2 = graph_mean(jnp.mean((pred_t - pred_t_p) ** 2, axis=-1), mask)
+        return kl0 + kl1 + kl2
+
+    def rl_timestep_loss(
+        self,
+        params,
+        prior_params,
+        batch: CrystalBatch,
+        rewards: jax.Array,  # [B]
+        key: jax.Array,
+        t_index: jax.Array,
+        sigma_kl: float,
+    ) -> jax.Array:
+        """Reward-weighted diffusion loss + KL regularizer at one timestep.
+
+        Mirrors the reference inner finetune expression
+        (pipeline/mat_invent.py:150-163):
+        ``mean_B(reward * sample_loss + sigma * (1.1 - reward) * KL)``.
+        """
+        mask = batch.mask
+        noised, targets, _ = self.add_noise(key, batch, t_index)
+        sample_loss, agent_pred = self.sample_losses(
+            params, noised, targets, batch.num_atoms, mask
+        )
+        _, prior_pred = self.sample_losses(
+            prior_params, noised, targets, batch.num_atoms, mask
+        )
+        kl = self.kl_reg(agent_pred, prior_pred, mask)
+        loss_diff = rewards * sample_loss
+        loss_kl = kl * (1.1 - rewards)
+        loss = jnp.mean(loss_diff + loss_kl * sigma_kl)
+        aux = (jnp.sum(loss_diff), jnp.sum(loss_kl))
+        return loss, aux
+
+    def rl_chunk_loss(
+        self,
+        params,
+        prior_params,
+        batch: CrystalBatch,
+        rewards: jax.Array,
+        key: jax.Array,
+        t_indices: jax.Array,  # [C] timestep indices in this accumulation chunk
+        sigma_kl: float,
+    ) -> tuple[jax.Array, tuple]:
+        """Mean loss over one grad-accumulation chunk of timesteps.
+
+        vmaps the per-timestep loss over the chunk (each timestep gets its own
+        fold_in key) — the gradient equals the reference's 50-step accumulated
+        gradient with a single backward pass.
+        """
+        keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(t_indices)
+        losses, aux = jax.vmap(
+            lambda k, t: self.rl_timestep_loss(
+                params, prior_params, batch, rewards, k, t, sigma_kl
+            )
+        )(keys, t_indices)
+        return jnp.mean(losses), jax.tree.map(jnp.sum, aux)
+
+    # --------------------------------------------------------------- sampling
+    @partial(jax.jit, static_argnames=("self", "max_atoms", "record_traj"))
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        num_atoms: jax.Array,  # [B]
+        max_atoms: int | None = None,
+        step_lr: float = 5e-6,
+        record_traj: bool = False,
+    ):
+        """Predictor-corrector ancestral sampling (diffusion.py:273-399 parity)
+        as one ``lax.scan`` over t = T..1 inside jit.
+
+        Returns the final ``CrystalBatch`` (atom types argmax'd to 1-based
+        atomic numbers) and, when ``record_traj``, per-step log-probs of the
+        sampled transitions (the reference's DDPO bookkeeping, traj[t]
+        log_prob_{l,t,x}).
+        """
+        c = self.config
+        B = num_atoms.shape[0]
+        A = int(max_atoms) if max_atoms is not None else 20
+        mask = jnp.arange(A)[None, :] < num_atoms[:, None]
+
+        k_x, k_l, k_t, k_scan = jax.random.split(key, 4)
+        x = jax.random.uniform(k_x, (B, A, 3))
+        l = jax.random.normal(k_l, (B, 3, 3))
+        tt = jax.random.normal(k_t, (B, A, c.max_atomic_num))
+
+        beta, sigma = self.beta, self.sigma
+        sigma_begin = c.sigma_begin
+
+        def step(carry, t):
+            x_t, l_t, t_t = carry
+            times = jnp.full((B,), t, jnp.int32)
+            time_emb = sinusoidal_time_embedding(times, c.time_dim)
+
+            alphas = beta.alphas[t]
+            alphas_cumprod = beta.alphas_cumprod[t]
+            c0 = 1.0 / jnp.sqrt(alphas)
+            c1 = (1 - alphas) / jnp.sqrt(1 - alphas_cumprod)
+            sigmas = beta.sigmas[t]
+            sigma_x = sigma.sigmas[t]
+            sigma_norm_t = sigma.sigmas_norm[t]
+
+            kt = jax.random.fold_in(k_scan, t)
+            kc_x, kp_l, kp_t, kp_x = jax.random.split(kt, 4)
+            nz = (t > 1).astype(x_t.dtype)
+            rand_x_c = nz * jax.random.normal(kc_x, x_t.shape)
+            rand_l = nz * jax.random.normal(kp_l, l_t.shape)
+            rand_t_ = nz * jax.random.normal(kp_t, t_t.shape)
+            rand_x_p = nz * jax.random.normal(kp_x, x_t.shape)
+
+            # Corrector (Langevin on coords only)
+            step_size = step_lr * (sigma_x / sigma_begin) ** 2
+            std_x = jnp.sqrt(2 * step_size)
+            pred_l, pred_x, pred_t = self.apply_net(
+                params, NoisedInput(time_emb, t_t, x_t, l_t), num_atoms, mask
+            )
+            pred_x = pred_x * jnp.sqrt(sigma_norm_t)
+            x_half = x_t - step_size * pred_x + std_x * rand_x_c
+            x_mu_corr = (x_t - step_size * pred_x) % 1.0
+
+            # Predictor (ancestral DDPM on lattice/types, VE-SDE on coords)
+            adjacent_sigma_x = sigma.sigmas[t - 1]
+            p_step = sigma_x**2 - adjacent_sigma_x**2
+            p_std = jnp.sqrt(
+                (adjacent_sigma_x**2 * (sigma_x**2 - adjacent_sigma_x**2))
+                / (sigma_x**2)
+            )
+            pred_l, pred_x, pred_t = self.apply_net(
+                params, NoisedInput(time_emb, t_t, x_half, l_t), num_atoms, mask
+            )
+            pred_x = pred_x * jnp.sqrt(sigma_norm_t)
+
+            x_next = (x_half - p_step * pred_x + p_std * rand_x_p) % 1.0
+            l_next = c0 * (l_t - c1 * pred_l) + sigmas * rand_l
+            t_next = c0 * (t_t - c1 * pred_t) + sigmas * rand_t_
+            if c.sample_clip is not None:
+                l_next = jnp.clip(l_next, -c.sample_clip, c.sample_clip)
+                t_next = jnp.clip(t_next, -c.sample_clip, c.sample_clip)
+
+            if record_traj:
+                # log-probs of the realized transition (DDPO bookkeeping,
+                # diffusion.py:353-382)
+                lp_l = jax.scipy.stats.norm.logpdf(
+                    l_next, c0 * (l_t - c1 * pred_l), jnp.maximum(sigmas, 1e-12)
+                ).mean(axis=(1, 2))
+                lp_t = graph_mean(
+                    jax.scipy.stats.norm.logpdf(
+                        t_next, c0 * (t_t - c1 * pred_t), jnp.maximum(sigmas, 1e-12)
+                    ).mean(axis=-1),
+                    mask,
+                )
+                lp_x_corr = graph_mean(
+                    log_prob_wrapped_normal(
+                        x_half % 1.0, x_mu_corr, jnp.maximum(std_x, 1e-12)
+                    ).mean(axis=-1),
+                    mask,
+                )
+                x_mu_pred = (x_half - p_step * pred_x) % 1.0
+                lp_x_pred = graph_mean(
+                    log_prob_wrapped_normal(
+                        x_next, x_mu_pred, jnp.maximum(p_std, 1e-12)
+                    ).mean(axis=-1),
+                    mask,
+                )
+                ys = dict(
+                    log_prob_l=lp_l,
+                    log_prob_t=lp_t,
+                    log_prob_x=lp_x_corr + lp_x_pred,
+                    frac_coords=x_next,
+                    frac_coords_mid=x_half % 1.0,
+                    lattices=l_next,
+                    atom_types=t_next,
+                    timestep=t,
+                )
+            else:
+                ys = None
+            return (x_next, l_next, t_next), ys
+
+        ts = jnp.arange(c.timesteps, 0, -1)
+        (x, l, tt), traj = jax.lax.scan(step, (x, l, tt), ts)
+
+        atom_types = jnp.argmax(tt, axis=-1) + 1
+        atom_types = jnp.where(mask, atom_types, 0)
+        final = CrystalBatch(
+            atom_types=atom_types.astype(jnp.int32),
+            frac_coords=x % 1.0,
+            lattice=l,
+            num_atoms=num_atoms,
+        )
+        return final, traj

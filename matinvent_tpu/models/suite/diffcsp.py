@@ -1,0 +1,137 @@
+"""DiffCSP model suite (parity with /root/reference/models/suite/diffcsp.py:25-145).
+
+Loads parameters from (a) a native checkpoint dir (``params.msgpack`` +
+``config.yaml``), (b) a reference-format torch ``last.ckpt`` (imported via
+torch_import), or (c) fresh initialization when no path is given (this
+environment has no HF hub access; the reference downloads from
+``jwchen25/MatInvent`` in that case).
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import yaml
+from flax import serialization
+
+from matinvent_tpu.models.diffcsp import DiffCSPConfig, DiffCSPDiffusion
+from matinvent_tpu.models.sample import DiffCSPSampler
+from matinvent_tpu.models.suite.base import ModelSuite
+from matinvent_tpu.models.suite.torch_import import (
+    cspnet_params_from_state_dict,
+    cspnet_state_dict_from_params,
+    load_torch_checkpoint,
+)
+from matinvent_tpu.parallel.train import FinetuneStep
+
+
+class DiffCSPSuite(ModelSuite):
+    def __init__(
+        self,
+        model_name: str = "diffcsp",
+        sample_cfg: dict | None = None,
+        finetune_cfg: dict | None = None,
+        model_path: str | None = None,
+        model_cfg: dict | None = None,
+        config_overrides: dict | None = None,
+        seed: int = 0,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            model_name=model_name,
+            sample_cfg=sample_cfg,
+            finetune_cfg=finetune_cfg,
+            model_path=model_path,
+            config_overrides=config_overrides,
+            seed=seed,
+            **kwargs,
+        )
+        cfg_kwargs = dict(model_cfg or {})
+        cfg_kwargs.update(self.config_overrides)
+        # a checkpoint dir may carry its own model config
+        if model_path is not None:
+            cfg_file = Path(model_path) / "config.yaml"
+            if cfg_file.exists():
+                with open(cfg_file) as fh:
+                    disk_cfg = yaml.safe_load(fh) or {}
+                disk_cfg.update(cfg_kwargs)
+                cfg_kwargs = disk_cfg
+        valid = set(DiffCSPConfig.__dataclass_fields__)
+        self.model_config = DiffCSPConfig(
+            **{k: v for k, v in cfg_kwargs.items() if k in valid}
+        )
+        self.diffusion = DiffCSPDiffusion(self.model_config)
+
+    # ------------------------------------------------------------------ load
+    def load_model(self) -> tuple[DiffCSPDiffusion, Any]:
+        if self.model_path is None:
+            params = self.diffusion.init_params(jax.random.PRNGKey(self.seed))
+            return self.diffusion, params
+
+        path = Path(self.model_path)
+        msgpack = path / "params.msgpack"
+        if msgpack.exists():
+            template = self.diffusion.init_params(jax.random.PRNGKey(0))
+            with open(msgpack, "rb") as fh:
+                params = serialization.from_bytes(template, fh.read())
+            return self.diffusion, params
+
+        # reference-format torch checkpoints: prefer last.ckpt, else newest
+        ckpts = sorted(path.glob("*.ckpt"))
+        ckpt = None
+        for ck in ckpts:
+            if "last" in ck.name:
+                ckpt = ck
+        if ckpt is None and ckpts:
+            ckpt = ckpts[-1]
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint found under {path}")
+        sd = load_torch_checkpoint(str(ckpt))
+        params = cspnet_params_from_state_dict(
+            sd, num_layers=self.model_config.num_layers, ln=self.model_config.ln
+        )
+        params = jax.tree.map(jax.numpy.asarray, params)
+        return self.diffusion, params
+
+    # --------------------------------------------------------------- drivers
+    def get_sampler(self) -> DiffCSPSampler:
+        return DiffCSPSampler(
+            batch_size=self.sample_cfg.get("batch_size"),
+            num_batches=self.sample_cfg.get("num_batches"),
+            num_atoms_distribution=self.sample_cfg.get(
+                "num_atoms_distribution", "mp_20"
+            ),
+            max_atoms=self.sample_cfg.get("max_atoms", 20),
+            step_lr=self.sample_cfg.get("step_lr"),
+            seed=self.seed,
+        )
+
+    def get_finetuner(self, **finetune_cfg) -> FinetuneStep:
+        return FinetuneStep(
+            self.diffusion,
+            lr=float(finetune_cfg.get("lr", 1e-4)),
+            timesteps=int(finetune_cfg.get("timesteps", self.model_config.timesteps)),
+            accum_steps=int(finetune_cfg.get("accum_steps", 50)),
+            sigma_kl=float(finetune_cfg.get("sigma", 0.025)),
+            epochs=int(finetune_cfg.get("epochs", 3)),
+        )
+
+    # ------------------------------------------------------------------ save
+    def save_model(self, params, save_dir: str) -> None:
+        """Native msgpack + config.yaml, plus a reference-compatible torch
+        state_dict (numpy npz) for interoperability."""
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "params.msgpack"), "wb") as fh:
+            fh.write(serialization.to_bytes(jax.device_get(params)))
+        cfg = {
+            k: getattr(self.model_config, k)
+            for k in DiffCSPConfig.__dataclass_fields__
+        }
+        with open(os.path.join(save_dir, "config.yaml"), "w") as fh:
+            yaml.safe_dump(cfg, fh)
+        sd = cspnet_state_dict_from_params(jax.device_get(params))
+        np.savez(os.path.join(save_dir, "state_dict.npz"), **sd)

@@ -1,0 +1,207 @@
+"""Sample filters & generation-quality evaluation.
+
+Capability parity with /root/reference/pipeline/filters/opt_filter.py:
+``invalid_filter`` (SMACT + structural validity + cell-size), ``OptFilter``
+(optional MLIP relaxation, novelty/uniqueness/stability masks) and ``OptEval``
+(metrics only). Differences by design:
+
+* validity checks run in-process (they are microseconds per structure with the
+  native chem layer — the reference needed an mp.Pool because pymatgen+smact
+  are slow); a ``num_workers`` option still fans out for very large batches.
+* relaxation and stability are pluggable host callbacks (``relaxer`` /
+  ``reference``): MLIP wheels are deployment-specific, exactly like the
+  reference's MatterSim dependency.
+"""
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+from typing import Any, Callable, List, Literal, Sequence
+
+import numpy as np
+
+from matinvent_tpu.chem.matcher import StructureMatcher
+from matinvent_tpu.chem.structure import Structure
+from matinvent_tpu.chem.validity import cell_size_ok, smact_valid, structure_validity
+
+METRIC_LIST = ["validity", "novel", "unique", "stable", "synthesizable"]
+
+
+def _validity_checks(s: Structure) -> bool:
+    return structure_validity(s) and smact_valid(s) and cell_size_ok(s)
+
+
+def invalid_filter(
+    sample_data: list,
+    sample_struc: List[Structure],
+    return_mask: bool = False,
+    num_workers: int | None = None,
+):
+    """Drop invalid samples (opt_filter.py:50-63 parity)."""
+    if num_workers and num_workers > 1 and len(sample_struc) > 64:
+        with mp.Pool(num_workers) as pool:
+            mask = np.array(pool.map(_validity_checks, sample_struc))
+    else:
+        mask = np.array([_validity_checks(s) for s in sample_struc])
+    if return_mask:
+        return mask
+    filtered_data = [x for x, m in zip(sample_data, mask) if m]
+    filtered_struc = [x for x, m in zip(sample_struc, mask) if m]
+    return filtered_data, filtered_struc
+
+
+class ReferenceDataset:
+    """Reference entries for novelty/stability screens.
+
+    Minimal counterpart of the reference's LMDB reference dataset
+    (opt_filter.py:89-95): a list of known structures (novelty) and optional
+    per-composition formation energies (stability via convex hull, see
+    ``energy_above_hull``).
+    """
+
+    def __init__(
+        self,
+        structures: Sequence[Structure] | None = None,
+        energies_per_atom: dict[str, float] | None = None,
+    ):
+        self.structures = list(structures or [])
+        # mapping reduced_formula -> energy per atom (eV) of known phases
+        self.energies_per_atom = dict(energies_per_atom or {})
+
+    @property
+    def known_elements(self) -> set[str]:
+        els: set[str] = set()
+        for s in self.structures:
+            els.update(s.composition.elements)
+        for formula in self.energies_per_atom:
+            from matinvent_tpu.chem.composition import Composition
+
+            els.update(Composition(formula).elements)
+        return els
+
+
+class OptFilter:
+    """Metric-based sample filter (opt_filter.py:66-203 parity).
+
+    Args:
+        metrics: subset of ``METRIC_LIST`` to AND together.
+        relax: whether to run the MLIP ``relaxer`` callback before metrics.
+        relaxer: callable ``(structures) -> (relaxed_structures, energies)``.
+        reference: ``ReferenceDataset`` for novelty/stability.
+        stability_fn: callable ``(structures, energies, reference) -> mask``;
+            defaults to an energy-per-atom threshold test when reference
+            energies exist.
+    """
+
+    def __init__(
+        self,
+        metrics: List[str],
+        relax: bool = True,
+        relaxer: Callable | None = None,
+        reference: ReferenceDataset | None = None,
+        stability_fn: Callable | None = None,
+        structure_matcher: Literal["ordered", "disordered"] = "disordered",
+        num_workers: int | None = None,
+        **kwargs,
+    ) -> None:
+        assert all(m in METRIC_LIST for m in metrics), f"metrics must be in {METRIC_LIST}"
+        self.metrics = metrics
+        self.relax = relax
+        self.relaxer = relaxer
+        self.reference = reference or ReferenceDataset()
+        self.stability_fn = stability_fn
+        self.matcher = StructureMatcher()
+        self.num_workers = num_workers
+
+    def pre_filter_elements(self, data_list: list, structures: List[Structure]):
+        """Drop samples whose elements are unknown to the reference dataset
+        (opt_filter.py:121-150 parity). No-op when no reference is loaded."""
+        known = self.reference.known_elements
+        if not known:
+            return data_list, structures
+        mask = [set(s.composition.elements) <= known for s in structures]
+        return (
+            [x for x, m in zip(data_list, mask) if m],
+            [x for x, m in zip(structures, mask) if m],
+        )
+
+    def compute_metrics(
+        self,
+        structures: List[Structure],
+        energies: List[float] | None,
+    ) -> tuple[dict, dict]:
+        masks: dict[str, np.ndarray] = {}
+        n = len(structures)
+        if n == 0:
+            return {}, {}
+
+        masks["validity"] = invalid_filter(structures, structures, return_mask=True,
+                                           num_workers=self.num_workers)
+        masks["unique"] = self.matcher.unique_mask(structures)
+        if self.reference.structures:
+            masks["novel"] = self.matcher.novel_mask(structures, self.reference.structures)
+        else:
+            masks["novel"] = np.ones(n, dtype=bool)
+        if self.stability_fn is not None and energies is not None:
+            masks["stable"] = np.asarray(
+                self.stability_fn(structures, energies, self.reference), dtype=bool
+            )
+        elif energies is not None and self.reference.energies_per_atom:
+            masks["stable"] = np.array(
+                [
+                    self._default_stable(s, e)
+                    for s, e in zip(structures, energies)
+                ]
+            )
+        else:
+            masks["stable"] = np.ones(n, dtype=bool)
+
+        metric_values = {f"frac_{k}": float(v.mean()) for k, v in masks.items()}
+        sun = masks["stable"] & masks["unique"] & masks["novel"]
+        metric_values["frac_sun"] = float(sun.mean())
+        return masks, metric_values
+
+    def _default_stable(self, s: Structure, energy: float, tol: float = 0.1) -> bool:
+        """Energy-per-atom vs known phase of same composition within tol eV."""
+        ref = self.reference.energies_per_atom.get(s.composition.reduced_formula)
+        if ref is None:
+            return False
+        return (energy / max(s.num_atoms, 1)) <= ref + tol
+
+    def __call__(
+        self,
+        data_list: list,
+        structures: List[Structure],
+        energies: List[float] | None = None,
+        **kwargs,
+    ):
+        data_list, structures = self.pre_filter_elements(data_list, structures)
+        if self.relax and self.relaxer is not None and energies is None:
+            structures, energies = self.relaxer(structures)
+        masks, metrics = self.compute_metrics(structures, energies)
+        if not masks:
+            return [], [], {}
+        mask_all = np.logical_and.reduce([masks[m] for m in self.metrics if m in masks])
+        filtered_data = [x for x, m in zip(data_list, mask_all) if m]
+        filtered_struc = [x for x, m in zip(structures, mask_all) if m]
+        return filtered_data, filtered_struc, metrics
+
+
+class OptEval(OptFilter):
+    """Metrics-only evaluation, no filtering (opt_filter.py:206-306 parity)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("metrics", METRIC_LIST[:4])
+        super().__init__(**kwargs)
+
+    def __call__(
+        self,
+        structures: List[Structure],
+        energies: List[float] | None = None,
+        **kwargs,
+    ):
+        structures = self.pre_filter_elements(structures, structures)[1]
+        if self.relax and self.relaxer is not None and energies is None:
+            structures, energies = self.relaxer(structures)
+        _, metrics = self.compute_metrics(structures, energies)
+        return metrics, structures

@@ -1,0 +1,245 @@
+"""MatInvent: the full RL loop (parity with /root/reference/pipeline/mat_invent.py:17-291).
+
+Per RL iteration: sample -> invalid-filter -> (optional MLIP relax) ->
+OptFilter -> cap at max_num -> save extxyz -> reward -> LTM metrics ->
+diversity filter -> top-k -> experience replay -> reward-weighted finetune ->
+periodic checkpoint. Device work (sampling scan, finetune epochs) is fully
+jitted; everything else is host-side.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matinvent_tpu.models.sample import collate_data_list
+from matinvent_tpu.pipeline.base import ReinL
+from matinvent_tpu.pipeline.filters import invalid_filter
+from matinvent_tpu.pipeline.logger import Logger
+from matinvent_tpu.pipeline.save import save_structures
+from matinvent_tpu.rewards.reward import Reward
+
+
+class MatInvent(ReinL):
+    def __init__(
+        self,
+        rl_epoch: int,
+        model_suite,
+        reward: Reward,
+        sample_cfg: dict,
+        finetune_cfg: dict,
+        topk_ratio: float,
+        save_dir: str,
+        save_freq: int = 50,
+        logger: Logger | None = None,
+        replay: bool = False,
+        replay_args: Dict | None = None,
+        div_filter: bool = False,
+        df_args: Dict | None = None,
+        seed: int = 0,
+        **kwargs,
+    ) -> None:
+        super().__init__(
+            rl_epoch=rl_epoch,
+            model_suite=model_suite,
+            reward=reward,
+            sample_cfg=sample_cfg,
+            finetune_cfg=finetune_cfg,
+            save_dir=save_dir,
+            save_freq=save_freq,
+            logger=logger,
+            replay=replay,
+            replay_args=replay_args,
+            seed=seed,
+            **kwargs,
+        )
+        assert 0.0 < topk_ratio <= 1.0
+        self.topk_ratio = topk_ratio
+        self.div_filter = div_filter
+        self.df_args = df_args or {}
+        self._key = jax.random.PRNGKey(seed)
+
+        self.load_model()
+        self.finetuner = self.model_suite.get_finetuner(**self.finetune_cfg)
+
+    def load_model(self):
+        """Agent = trainable copy, prior = frozen copy of the pretrained model
+        (mat_invent.py:62-72). In JAX 'frozen' simply means we never update
+        prior_params; the KL term stop-gradients them."""
+        self.diffusion, self.agent_params = self.model_suite.load_model()
+        _, self.prior_params = self.model_suite.load_model()
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def sample_step(self):
+        sample_data, sample_struc = self.sampler.generate(
+            model=(self.diffusion, self.agent_params),
+            batch_size=self.sample_cfg.get("batch_size"),
+            num_batches=self.sample_cfg.get("num_batches"),
+        )
+        if self.sample_cfg.get("invalid_filter", True):
+            sample_data, sample_struc = invalid_filter(sample_data, sample_struc)
+        logging.info(f"Number of valid samples: {len(sample_struc)}")
+
+        valid_xyz_path = save_structures(
+            sample_struc, self.sample_dir, f"step_{self.step:0>4d}_valid.extxyz"
+        )
+
+        if self.sample_cfg.get("mlip_opt"):
+            sample_struc, energies = self.sample_cfg["mlip_opt"](
+                sample_struc, valid_xyz_path
+            )
+        else:
+            energies = None
+
+        if self.sample_cfg.get("filter"):
+            flt = self.sample_cfg["filter"]
+            sample_data, sample_struc, metrics = flt(sample_data, sample_struc, energies)
+            logging.info(f"Number of filtered samples: {len(sample_struc)}")
+        else:
+            metrics = {}
+
+        if metrics:
+            logging.info(", ".join(f"{k}: {v:.6f}" for k, v in metrics.items()))
+
+        max_num = self.sample_cfg.get("max_num")
+        if max_num and len(sample_struc) > max_num:
+            sample_data = sample_data[:max_num]
+            sample_struc = sample_struc[:max_num]
+
+        eval_xyz_path = save_structures(
+            sample_struc, self.sample_dir, f"step_{self.step:0>4d}_eval.extxyz"
+        )
+        return sample_data, sample_struc, eval_xyz_path, metrics
+
+    def ft_step(self, data_list: List[dict], rewards: np.ndarray, baseline: float):
+        if len(data_list) == 0:
+            logging.warning("ft_step skipped: no finetune data this iteration")
+            return
+        max_atoms = getattr(self.sampler, "max_atoms", 20)
+        batch = collate_data_list(data_list, max_atoms=max_atoms)
+        # NOTE: like the reference (mat_invent.py:155-157), raw reward is the
+        # advantage; the computed `baseline` is intentionally unused.
+        self.agent_params, epoch_metrics = self.finetuner.run(
+            self.agent_params,
+            self.prior_params,
+            batch,
+            jnp.asarray(rewards, jnp.float32),
+            self._next_key(),
+        )
+        for e, m in enumerate(epoch_metrics):
+            logging.info(
+                f"Epoch {e}: " + ", ".join(f"{k}: {v:.4f}" for k, v in m.items())
+            )
+
+    def rl_step(self):
+        logging.info(f"*****   LOOP {self.step} START   *****")
+        start_time = time.time()
+
+        logging.info("SAMPLE:")
+        with self.timer.phase("sample"):
+            sample_list, sample_struc, xyz_path, sample_metrics = self.sample_step()
+
+        logging.info("SCORE:")
+        with self.timer.phase("score"):
+            sample_list, sample_struc, rewards, prop_dict = self.reward_step(
+                sample_list, sample_struc, xyz_path, f"step_{self.step:0>4d}"
+            )
+
+        log_dict = {f"{k} mean": v.mean() for k, v in prop_dict.items() if len(v)}
+        log_dict.update({f"{k} std": v.std() for k, v in prop_dict.items() if len(v)})
+        if len(rewards):
+            log_dict.update({"reward mean": rewards.mean(), "reward std": rewards.std()})
+        log_dict.update(sample_metrics)
+
+        if len(sample_struc) == 0:
+            # robustness beyond the reference: an early (or broken) agent can
+            # yield zero valid+scored samples; skip memory/finetune this step.
+            logging.warning("no valid scored samples this iteration; skipping finetune")
+            log_dict.update(crystal_num=len(self.ltm), cost=self.cost)
+            if self.logger is not None:
+                self.logger.log(log_dict, step=self.step)
+            return
+
+        self.ltm.extend(sample_struc, rewards, self.step)
+        metrics = self.ltm.calc_metrics(self.reward.threshold)
+        self.ltm.save(os.path.join(self.sample_dir, "long_term_memory.csv"))
+        logging.info(
+            f"{len(self.ltm)} crystals generated so far, "
+            f"{len(self.ltm.unique_comps)} unique components."
+            f"  Burden: {metrics[0]}, Div. Ratio: {metrics[1]}."
+        )
+        log_dict.update(
+            crystal_num=len(self.ltm),
+            unique_comps=len(self.ltm.unique_comps),
+            burden=metrics[0],
+            div_ratio=metrics[1],
+            cost=self.cost,
+        )
+
+        penalty_strucs: list = []
+        if self.div_filter:
+            rewards, penalty_idx, tol_n, buff_n = self.ltm.div_filter(
+                sample_struc, rewards, **self.df_args
+            )
+            penalty_strucs = [sample_struc[p] for p in penalty_idx]
+            logging.info(f"Diversity filter: tol_n={tol_n}, buff_n={buff_n}")
+
+        # top-k selection
+        sort_idx = np.argsort(rewards)[::-1]
+        topk_idx = sort_idx[: int(self.finetune_cfg["batch_size"] * self.topk_ratio)]
+        sample_topk = [sample_list[i] for i in topk_idx]
+        strucs_topk = [sample_struc[i] for i in topk_idx]
+        reward_topk = rewards[topk_idx]
+
+        # experience replay
+        if self.replay is not None:
+            if self.div_filter and len(penalty_strucs) > 0:
+                self.replay.memory_purge(penalty_strucs)
+            data_replay, reward_replay = self.replay.sample()
+            ft_data = sample_topk + data_replay
+            ft_reward = np.concatenate((reward_topk, reward_replay))
+            self.replay.extend(sample_topk, strucs_topk, reward_topk)
+            logging.info(f"replay buffer size={len(self.replay)}")
+            if len(self.replay):
+                logging.info(
+                    f"buffer reward mean={self.replay.buffer['reward'].values.mean()}"
+                )
+        else:
+            ft_data = sample_topk
+            ft_reward = reward_topk
+
+        logging.info("FINETUNE:")
+        baseline = self.ltm.get_baseline(self.step)
+        if len(ft_reward):
+            baseline = min(baseline, ft_reward.min())
+        with self.timer.phase("finetune"):
+            self.ft_step(ft_data, ft_reward, baseline)
+
+        log_dict.update(self.timer.pop())
+        if self.logger is not None:
+            self.logger.log(log_dict, step=self.step)
+
+        total_time = (time.time() - start_time) / 60
+        logging.info(f"*****   LOOP {self.step} FINISH   *****")
+        logging.info(f"Total time taken: {total_time:.2f} min.\n\n")
+
+    def run_rl(self):
+        logging.info("*****   RL START   *****")
+        start_time = time.time()
+        for step in range(self.rl_epoch):
+            self.step = step
+            self.rl_step()
+            if (step + 1) % self.save_freq == 0:
+                ckpt_dir = os.path.join(self.models_dir, f"loop_{step:0>4d}")
+                self.model_suite.save_model(self.agent_params, ckpt_dir)
+        self.model_suite.save_model(self.agent_params, os.path.join(self.models_dir, "final"))
+        logging.info("*****   RL END   *****")
+        logging.info(f"Total time taken: {int(time.time() - start_time)} s.")

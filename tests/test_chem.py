@@ -1,0 +1,135 @@
+"""Chemistry-core tests: composition, structure, validity, IO, matching."""
+import os
+
+import numpy as np
+import pytest
+
+from matinvent_tpu.chem import Composition, Structure, smact_valid, structure_validity
+from matinvent_tpu.chem.matcher import StructureMatcher
+from matinvent_tpu.chem.structure import read_extxyz, save_extxyz
+from matinvent_tpu.chem.validity import cell_size_ok
+
+
+def make_nacl():
+    # rock salt NaCl conventional-ish cell (2 atoms, primitive)
+    return Structure.from_parameters(
+        [5.64, 5.64, 5.64], [90, 90, 90],
+        [11, 17],  # Na, Cl
+        np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+    )
+
+
+class TestComposition:
+    def test_reduced_formula(self):
+        c = Composition({"Fe": 2, "O": 3})
+        assert c.reduced_formula == "Fe2O3"
+        c2 = Composition({"Fe": 4, "O": 6})
+        assert c2.reduced_formula == "Fe2O3"
+
+    def test_from_atomic_numbers_and_str(self):
+        c = Composition([11, 17, 11, 17])
+        assert c.reduced_formula == "NaCl"
+        assert Composition("NaCl") == Composition({"Na": 1, "Cl": 1})
+
+    def test_electronegativity_ordering(self):
+        assert Composition({"O": 1, "H": 2}).reduced_formula == "H2O"
+        assert Composition({"Cl": 1, "Na": 1}).reduced_formula == "NaCl"
+
+    def test_weight_fractions(self):
+        wf = Composition({"Na": 1, "Cl": 1}).weight_fractions
+        assert abs(wf["Na"] - 22.990 / (22.990 + 35.45)) < 1e-6
+
+
+class TestValidity:
+    def test_smact_valid_ionic(self):
+        assert smact_valid(Composition({"Na": 1, "Cl": 1}))
+        assert smact_valid(Composition({"Fe": 2, "O": 3}))
+        assert smact_valid(Composition({"Mg": 1, "O": 1}))
+
+    def test_smact_invalid(self):
+        # Na2Cl3 cannot charge balance with Na+ and Cl-
+        assert not smact_valid(Composition({"Na": 2, "Cl": 3}))
+        # noble gas has no oxidation states
+        assert not smact_valid(Composition({"Ne": 1, "O": 1}))
+
+    def test_alloy_exception(self):
+        assert smact_valid(Composition({"Fe": 1, "Ni": 1, "Cr": 1}))
+
+    def test_structure_validity(self):
+        s = make_nacl()
+        assert structure_validity(s)
+        # overlapping atoms -> invalid
+        bad = Structure.from_parameters(
+            [5, 5, 5], [90, 90, 90], [11, 17],
+            np.array([[0, 0, 0], [0.01, 0.0, 0.0]]),
+        )
+        assert not structure_validity(bad)
+        # giant cell fails the 25-A check
+        big = Structure.from_parameters(
+            [30, 5, 5], [90, 90, 90], [11], np.array([[0, 0, 0]])
+        )
+        assert not cell_size_ok(big)
+
+
+class TestStructure:
+    def test_density_nacl(self):
+        # NaCl rock salt a=5.64: 4 formula units in the conventional cell;
+        # our 2-atom cell at the same a has 1/4 the mass in the same volume?
+        # No — build the full conventional cell to check density ~2.16 g/cm3.
+        fcc = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+        na = np.array(fcc)
+        cl = na + 0.5
+        s = Structure.from_parameters(
+            [5.64, 5.64, 5.64], [90, 90, 90],
+            [11] * 4 + [17] * 4,
+            np.vstack([na, cl]),
+        )
+        assert abs(s.density - 2.16) < 0.05
+
+    def test_min_distance_includes_self_images(self):
+        s = Structure.from_parameters(
+            [2.0, 10, 10], [90, 90, 90], [6], np.array([[0, 0, 0]])
+        )
+        assert abs(s.min_interatomic_distance() - 2.0) < 1e-8
+
+    def test_extxyz_roundtrip(self, tmp_path):
+        s = make_nacl()
+        path = os.path.join(tmp_path, "test.extxyz")
+        save_extxyz([s, s], path)
+        back = read_extxyz(path)
+        assert len(back) == 2
+        np.testing.assert_allclose(back[0].lattice, s.lattice, atol=1e-6)
+        np.testing.assert_array_equal(back[0].species, s.species)
+        d = np.abs(back[0].frac_coords - s.frac_coords)
+        assert np.minimum(d, 1 - d).max() < 1e-6
+
+    def test_cif_contains_cell(self):
+        cif = make_nacl().to_cif()
+        assert "_cell_length_a 5.64" in cif
+        assert "NaCl" in cif
+
+
+class TestMatcher:
+    def test_same_structure_matches(self):
+        m = StructureMatcher()
+        assert m.fit(make_nacl(), make_nacl())
+
+    def test_different_composition_no_match(self):
+        m = StructureMatcher()
+        other = Structure.from_parameters(
+            [5.64, 5.64, 5.64], [90, 90, 90], [19, 17],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+        assert not m.fit(make_nacl(), other)
+
+    def test_unique_and_novel_masks(self):
+        m = StructureMatcher()
+        a = make_nacl()
+        scaled = Structure.from_parameters(
+            [7.0, 7.0, 7.0], [90, 90, 90], [11, 17],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+        mask = m.unique_mask([a, a, scaled])
+        np.testing.assert_array_equal(mask, [True, False, True])
+        novel = m.novel_mask([a, scaled], [a])
+        np.testing.assert_array_equal(novel, [False, True])

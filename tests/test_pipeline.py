@@ -1,0 +1,143 @@
+"""End-to-end RL pipeline tests (SURVEY.md §4 strategy (e)): one-iteration
+smoke with the HHI reward (no ML, no network), config engine, filters."""
+import os
+
+import numpy as np
+import pytest
+
+from matinvent_tpu.chem.structure import Structure
+from matinvent_tpu.pipeline.filters import OptFilter, ReferenceDataset, invalid_filter
+from matinvent_tpu.utils.config import instantiate, load_config, resolve_interpolations
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_DIR = os.path.join(REPO, "configs")
+
+
+def make_struc(species, a=5.0):
+    n = len(species)
+    coords = np.linspace(0, 1, n, endpoint=False)[:, None] * np.array([[1, 1, 1]])
+    return Structure.from_parameters([a] * 3, [90] * 3, species, coords)
+
+
+class TestConfig:
+    def test_load_defaults_and_interpolation(self):
+        cfg = load_config(CONFIG_DIR, "base", overrides=["eval_size=4"])
+        assert cfg["pipeline"]["_target_"].endswith("MatInvent")
+        # ${calc:'${eval_size} * 12'}
+        assert cfg["model"]["sample_cfg"]["batch_size"] == 48
+        assert cfg["pipeline"]["finetune_cfg"]["batch_size"] == 4
+        assert cfg["sample_cfg"]["max_num"] == 4
+
+    def test_group_and_leaf_overrides(self):
+        cfg = load_config(
+            CONFIG_DIR, "base",
+            overrides=["reward=density", "pipeline.topk_ratio=0.25", "expname=x1"],
+        )
+        assert cfg["reward"]["prop_cfg"][0]["name"] == "density"
+        assert cfg["pipeline"]["topk_ratio"] == 0.25
+        assert cfg["expname"] == "x1"
+
+    def test_calc_resolver_is_safe(self):
+        with pytest.raises(ValueError):
+            resolve_interpolations({"x": "${calc:'__import__(\"os\")'}"})
+
+    def test_instantiate_reward(self, tmp_path):
+        cfg = load_config(CONFIG_DIR, "base", overrides=["reward=hhi"])
+        os.makedirs(tmp_path / "run", exist_ok=True)
+        cwd = os.getcwd()
+        try:
+            os.chdir(tmp_path / "run")
+            reward = instantiate(cfg["reward"])
+        finally:
+            os.chdir(cwd)
+        assert reward.threshold == 0.8
+        assert reward.prop_cfg[0]["calculator"].task == "hhi"
+
+
+class TestFilters:
+    def test_invalid_filter(self):
+        good = make_struc([11, 17])
+        bad = Structure.from_parameters(
+            [5, 5, 5], [90, 90, 90], [11, 17],
+            np.array([[0, 0, 0], [0.01, 0, 0]]),
+        )
+        data, strucs = invalid_filter(["a", "b"], [good, bad])
+        assert data == ["a"] and len(strucs) == 1
+
+    def test_opt_filter_metrics(self):
+        s1 = make_struc([11, 17])
+        s2 = make_struc([11, 17])  # duplicate
+        s3 = make_struc([26, 26, 8, 8, 8], a=6.0)
+        flt = OptFilter(metrics=["validity", "unique"], relax=False)
+        data, strucs, metrics = flt(["a", "b", "c"], [s1, s2, s3])
+        assert len(strucs) == 2  # duplicate dropped
+        assert metrics["frac_unique"] == pytest.approx(2 / 3)
+
+    def test_opt_filter_novelty_vs_reference(self):
+        s1 = make_struc([11, 17])
+        s3 = make_struc([26, 26, 8, 8, 8], a=6.0)
+        # reference must cover all elements or pre_filter_elements drops the
+        # sample first (faithful to opt_filter.py:121-150)
+        ref = ReferenceDataset(
+            structures=[make_struc([11, 17]), make_struc([26, 8], a=7.5)]
+        )
+        flt = OptFilter(metrics=["novel"], relax=False, reference=ref)
+        data, strucs, metrics = flt(["a", "b"], [s1, s3])
+        assert len(strucs) == 1
+        assert strucs[0].composition.reduced_formula != "NaCl"
+
+    def test_pre_filter_elements(self):
+        ref = ReferenceDataset(structures=[make_struc([11, 17])])
+        flt = OptFilter(metrics=["validity"], relax=False, reference=ref)
+        data, strucs = flt.pre_filter_elements(
+            ["a", "b"], [make_struc([11, 17]), make_struc([26, 8])]
+        )
+        assert len(strucs) == 1  # Fe/O unknown to the reference set
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_one_rl_iteration(self, tmp_path):
+        """Full MatInvent loop: sample -> filter -> score -> memory -> finetune."""
+        import main as cli
+
+        cwd = os.getcwd()
+        try:
+            cli.main(
+                [
+                    f"results_dir={tmp_path}",
+                    "expname=smoke",
+                    "rl_epoch=1",
+                    "eval_size=2",
+                    "seed=0",
+                    "reward=density",
+                    "logger=csv",
+                    "model.model_cfg.hidden_dim=32",
+                    "model.model_cfg.num_layers=2",
+                    "model.model_cfg.time_dim=16",
+                    "model.model_cfg.timesteps=10",
+                    "model.model_cfg.sample_clip=15.0",
+                    "model.sample_cfg.batch_size=6",
+                    "model.finetune_cfg.timesteps=10",
+                    "pipeline.finetune_cfg.accum_steps=5",
+                    "pipeline.finetune_cfg.epochs=1",
+                    "pipeline.save_freq=1",
+                    # untrained model -> ~0 valid samples; exercise the full
+                    # memory/finetune path by disabling the validity gates
+                    "sample_cfg.filter=null",
+                    "sample_cfg.invalid_filter=false",
+                ]
+            )
+        finally:
+            os.chdir(cwd)
+
+        run = tmp_path / "smoke"
+        assert (run / "hparams.yaml").exists()
+        assert (run / "metrics.csv").exists()
+        assert (run / "samples" / "step_0000_valid.extxyz").exists()
+        assert (run / "samples" / "long_term_memory.csv").exists()
+        assert (run / "models" / "final" / "params.msgpack").exists()
+        import pandas as pd
+
+        df = pd.read_csv(run / "metrics.csv")
+        assert "reward mean" in df.columns or "crystal_num" in df.columns
