@@ -42,6 +42,10 @@ SYMBOLS = [
 Z_BY_SYMBOL = {s: z for z, s in enumerate(SYMBOLS)}
 
 ATOMIC_WEIGHTS = {
+    # "X" = placeholder/dummy species (e.g. a D3PM MASK state that survived
+    # sampling); NaN mass poisons downstream properties into the failed-mask
+    # path instead of crashing.
+    "X": float("nan"),
     "H": 1.008, "He": 4.0026, "Li": 6.94, "Be": 9.0122, "B": 10.81,
     "C": 12.011, "N": 14.007, "O": 15.999, "F": 18.998, "Ne": 20.180,
     "Na": 22.990, "Mg": 24.305, "Al": 26.982, "Si": 28.085, "P": 30.974,

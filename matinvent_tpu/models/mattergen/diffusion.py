@@ -1,0 +1,390 @@
+"""MatterGen-class multi-field joint diffusion (TPU-native).
+
+Capability parity with the reference's MatterGen path:
+* ``add_noise`` maps an integer RL timestep onto the continuous-time grid
+  ``linspace(T, 1/N, N)`` and corrupts each field via its process
+  (/root/reference/models/mattergen/pl_module.py:55-69);
+* ``sample_losses`` = per-sample field losses with weights
+  {atomic_numbers: 1.0, cell: 1.0, pos: 0.1}, reduce='sum' and the D3PM
+  hybrid objective (models/mattergen/loss.py:11-78);
+* ``calc_kl_reg`` MSE between agent and frozen-prior predictions per field
+  (pl_module.py:83-102);
+* ``sample`` is the PredictorCorrector ancestral sampler
+  (mattergen's ``PredictorCorrector``, models/mattergen/sample.py:293-294)
+  as one ``lax.scan`` with optional classifier-free guidance
+  (``diffusion_guidance_factor``) and trajectory recording.
+
+Fields: VP SDE on the cell (per-crystal atom-count-scaled limit), VE
+wrapped-normal on fractional coords, D3PM chain on atom types.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Mapping, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from matinvent_tpu.models.batch import CrystalBatch
+from matinvent_tpu.models.diffcsp import sinusoidal_time_embedding
+from matinvent_tpu.models.mattergen.corruption import (
+    LatticeVPSDE,
+    TypeD3PM,
+    WrappedCoordVE,
+)
+from matinvent_tpu.models.mattergen.score_net import MatterGenScoreNet
+from matinvent_tpu.ops.segment import graph_mean
+
+
+class MGNoised(NamedTuple):
+    t: jax.Array  # [B] continuous time in (0, 1]
+    time_emb: jax.Array  # [B, time_dim]
+    atom_types_t: jax.Array  # [B, A] int (D3PM state)
+    frac_coords_t: jax.Array  # [B, A, 3]
+    lattice_t: jax.Array  # [B, 3, 3]
+
+
+class MGTargets(NamedTuple):
+    eps_cell: jax.Array  # [B, 3, 3]
+    score_pos: jax.Array  # [B, A, 3] (sigma-scaled wrapped-normal score)
+    x0_types: jax.Array  # [B, A] int ground-truth classes (0-based)
+
+
+@struct.dataclass
+class MatterGenConfig:
+    hidden_dim: int = struct.field(pytree_node=False, default=256)
+    num_layers: int = struct.field(pytree_node=False, default=6)
+    time_dim: int = struct.field(pytree_node=False, default=256)
+    num_freqs: int = struct.field(pytree_node=False, default=10)
+    timesteps: int = struct.field(pytree_node=False, default=1000)
+    max_atomic_num: int = struct.field(pytree_node=False, default=100)
+    d3pm_kind: str = struct.field(pytree_node=False, default="uniform")
+    d3pm_hybrid_lambda: float = struct.field(pytree_node=False, default=0.01)
+    beta_min: float = struct.field(pytree_node=False, default=0.1)
+    beta_max: float = struct.field(pytree_node=False, default=20.0)
+    sigma_min: float = struct.field(pytree_node=False, default=0.005)
+    sigma_max: float = struct.field(pytree_node=False, default=0.5)
+    weight_cell: float = struct.field(pytree_node=False, default=1.0)
+    weight_pos: float = struct.field(pytree_node=False, default=0.1)
+    weight_types: float = struct.field(pytree_node=False, default=1.0)
+    n_corrector: int = struct.field(pytree_node=False, default=1)
+    corrector_snr: float = struct.field(pytree_node=False, default=0.2)
+    condition_fields: tuple = struct.field(pytree_node=False, default=())
+    sample_clip: float | None = struct.field(pytree_node=False, default=None)
+
+
+class MatterGenDiffusion:
+    def __init__(self, config: MatterGenConfig | None = None):
+        self.config = config or MatterGenConfig()
+        c = self.config
+        self.cell_sde = LatticeVPSDE(beta_min=c.beta_min, beta_max=c.beta_max)
+        self.coord_ve = WrappedCoordVE(sigma_min=c.sigma_min, sigma_max=c.sigma_max)
+        self.d3pm = TypeD3PM.create(
+            num_classes=c.max_atomic_num, num_steps=c.timesteps, kind=c.d3pm_kind
+        )
+        self.net = MatterGenScoreNet(
+            hidden_dim=c.hidden_dim,
+            time_dim=c.time_dim,
+            num_layers=c.num_layers,
+            type_vocab=self.d3pm.vocab,
+            num_freqs=c.num_freqs,
+            condition_fields=tuple(c.condition_fields),
+        )
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key, batch_size: int = 2, max_atoms: int = 8):
+        c = self.config
+        return self.net.init(
+            key,
+            jnp.zeros((batch_size, c.time_dim)),
+            jnp.zeros((batch_size, max_atoms), jnp.int32),
+            jnp.zeros((batch_size, max_atoms, 3)),
+            jnp.eye(3)[None].repeat(batch_size, 0),
+            jnp.full((batch_size,), max_atoms, jnp.int32),
+            jnp.ones((batch_size, max_atoms), bool),
+            conditions={f: jnp.zeros((batch_size,)) for f in c.condition_fields},
+        )
+
+    def apply_net(self, params, noised: MGNoised, num_atoms, mask,
+                  conditions=None, cond_mask=None):
+        return self.net.apply(
+            params,
+            noised.time_emb,
+            noised.atom_types_t,
+            noised.frac_coords_t,
+            noised.lattice_t,
+            num_atoms,
+            mask,
+            conditions=conditions,
+            cond_mask=cond_mask,
+        )
+
+    # ------------------------------------------------------------- corruption
+    def time_grid(self) -> jax.Array:
+        """Descending grid linspace(T=1, 1/N, N) (pl_module.py:59-62)."""
+        N = self.config.timesteps
+        return jnp.linspace(1.0, 1.0 / N, N)
+
+    def add_noise(
+        self,
+        key: jax.Array,
+        batch: CrystalBatch,
+        t_index: jax.Array | int | None = None,
+    ) -> tuple[MGNoised, MGTargets, jax.Array]:
+        c = self.config
+        B = batch.batch_size
+        k_t, k_cell, k_pos, k_type = jax.random.split(key, 4)
+
+        grid = self.time_grid()
+        if t_index is None:
+            t = jax.random.uniform(k_t, (B,), minval=1.0 / c.timesteps, maxval=1.0)
+        else:
+            t = jnp.full((B,), grid[jnp.asarray(t_index)])
+
+        lattice_t, eps_cell, _ = self.cell_sde.sample_marginal(
+            k_cell, batch.lattice, t, batch.num_atoms
+        )
+        frac_t, eps_pos, sigma = self.coord_ve.sample_marginal(
+            k_pos, batch.frac_coords, t
+        )
+        # sigma-scaled score target: sigma * d/dx log p_wn — O(1) magnitudes
+        score_pos = self.coord_ve.score_target(eps_pos, sigma) * sigma
+
+        x0_types = jnp.clip(batch.atom_types - 1, 0, self.d3pm.num_classes - 1)
+        types_t = self.d3pm.sample_marginal(k_type, x0_types, t)
+
+        time_emb = sinusoidal_time_embedding(t * c.timesteps, c.time_dim)
+        noised = MGNoised(t, time_emb, types_t, frac_t, lattice_t)
+        targets = MGTargets(eps_cell, score_pos, x0_types)
+        return noised, targets, t
+
+    # ----------------------------------------------------------------- losses
+    def sample_losses(
+        self,
+        params,
+        noised: MGNoised,
+        targets: MGTargets,
+        num_atoms: jax.Array,
+        mask: jax.Array,
+        conditions=None,
+        cond_mask=None,
+    ) -> tuple[jax.Array, dict]:
+        c = self.config
+        preds = self.apply_net(params, noised, num_atoms, mask, conditions, cond_mask)
+
+        loss_cell = jnp.mean((preds["cell"] - targets.eps_cell) ** 2, axis=(1, 2))
+        per_atom_pos = jnp.mean((preds["pos"] - targets.score_pos) ** 2, axis=-1)
+        loss_pos = graph_mean(per_atom_pos, mask)
+        loss_types = self.d3pm.hybrid_loss(
+            targets.x0_types,
+            noised.atom_types_t,
+            preds["atomic_numbers"],
+            noised.t,
+            mask,
+            hybrid_lambda=c.d3pm_hybrid_lambda,
+        )
+        loss = (
+            c.weight_cell * loss_cell
+            + c.weight_pos * loss_pos
+            + c.weight_types * loss_types
+        )
+        return loss, preds
+
+    def kl_reg(self, agent_pred: dict, prior_pred: dict, mask: jax.Array) -> jax.Array:
+        prior_pred = jax.tree.map(jax.lax.stop_gradient, prior_pred)
+        kl0 = jnp.mean((agent_pred["cell"] - prior_pred["cell"]) ** 2, axis=(1, 2))
+        kl1 = graph_mean(
+            jnp.mean((agent_pred["pos"] - prior_pred["pos"]) ** 2, axis=-1), mask
+        )
+        kl2 = graph_mean(
+            jnp.mean(
+                (agent_pred["atomic_numbers"] - prior_pred["atomic_numbers"]) ** 2,
+                axis=-1,
+            ),
+            mask,
+        )
+        return kl0 + kl1 + kl2
+
+    def rl_timestep_loss(
+        self,
+        params,
+        prior_params,
+        batch: CrystalBatch,
+        rewards: jax.Array,
+        key: jax.Array,
+        t_index: jax.Array,
+        sigma_kl: float,
+        conditions=None,
+    ):
+        """Reward-weighted loss + KL at one grid timestep (mat_invent.py:150-163)."""
+        mask = batch.mask
+        noised, targets, _ = self.add_noise(key, batch, t_index)
+        loss, agent_pred = self.sample_losses(
+            params, noised, targets, batch.num_atoms, mask, conditions
+        )
+        _, prior_pred = self.sample_losses(
+            prior_params, noised, targets, batch.num_atoms, mask, conditions
+        )
+        kl = self.kl_reg(agent_pred, prior_pred, mask)
+        loss_diff = rewards * loss
+        loss_kl = kl * (1.1 - rewards)
+        total = jnp.mean(loss_diff + loss_kl * sigma_kl)
+        return total, (jnp.sum(loss_diff), jnp.sum(loss_kl))
+
+    def rl_chunk_loss(
+        self, params, prior_params, batch, rewards, key, t_indices, sigma_kl,
+        conditions=None,
+    ):
+        keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(t_indices)
+        losses, aux = jax.vmap(
+            lambda k, t: self.rl_timestep_loss(
+                params, prior_params, batch, rewards, k, t, sigma_kl, conditions
+            )
+        )(keys, t_indices)
+        return jnp.mean(losses), jax.tree.map(jnp.sum, aux)
+
+    # --------------------------------------------------------------- sampling
+    def _guided_preds(self, params, noised, num_atoms, mask, conditions, guidance):
+        """Classifier-free guidance: (1+g)*cond - g*uncond per field."""
+        if conditions is None or guidance == 0.0:
+            return self.apply_net(params, noised, num_atoms, mask, conditions)
+        cond_preds = self.apply_net(params, noised, num_atoms, mask, conditions)
+        B = num_atoms.shape[0]
+        null_mask = {f: jnp.zeros((B,), bool) for f in conditions}
+        uncond_preds = self.apply_net(
+            params, noised, num_atoms, mask, conditions, cond_mask=null_mask
+        )
+        return jax.tree.map(
+            lambda c_, u: (1.0 + guidance) * c_ - guidance * u, cond_preds, uncond_preds
+        )
+
+    @partial(
+        jax.jit,
+        static_argnames=("self", "max_atoms", "guidance", "record_traj"),
+    )
+    def sample(
+        self,
+        params,
+        key: jax.Array,
+        num_atoms: jax.Array,
+        max_atoms: int | None = None,
+        conditions: Mapping[str, jax.Array] | None = None,
+        guidance: float = 0.0,
+        record_traj: bool = False,
+    ):
+        """Predictor-corrector ancestral sampling over the N-step grid."""
+        c = self.config
+        N = c.timesteps
+        B = num_atoms.shape[0]
+        A = int(max_atoms) if max_atoms is not None else 20
+        mask = jnp.arange(A)[None, :] < num_atoms[:, None]
+
+        k_cell, k_pos, k_type, k_scan = jax.random.split(key, 4)
+        sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
+        cell = self.cell_sde.prior_sample(k_cell, (B, 3, 3), num_atoms)
+        pos = self.coord_ve.prior_sample(k_pos, (B, A, 3))
+        types = self.d3pm.prior_sample(k_type, (B, A))
+
+        grid = self.time_grid()
+        dt = 1.0 / N
+
+        def net_preds(i, cell_t, pos_t, types_t):
+            t = jnp.full((B,), grid[i])
+            time_emb = sinusoidal_time_embedding(t * N, c.time_dim)
+            noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
+            return (
+                self._guided_preds(params, noised, num_atoms, mask, conditions, guidance),
+                t,
+            )
+
+        def step(carry, i):
+            cell_t, pos_t, types_t = carry
+            t_now = grid[i]
+            t_prev = jnp.maximum(t_now - dt, 0.0)
+            last = i == (N - 1)
+
+            ki = jax.random.fold_in(k_scan, i)
+            kc, kp, kt_, kcorr = jax.random.split(ki, 4)
+            nz = jnp.where(last, 0.0, 1.0)
+
+            # ---- corrector: Langevin on coords (snr-scaled)
+            sigma_now = self.coord_ve.sigma(jnp.full((B,), t_now))[:, None, None]
+
+            def corrector(state, kc_i):
+                pos_c = state
+                preds, _ = net_preds(i, cell_t, pos_c, types_t)
+                score = preds["pos"] / jnp.maximum(sigma_now, 1e-8)
+                step_size = (c.corrector_snr * sigma_now) ** 2 * 2.0
+                noise = nz * jax.random.normal(kc_i, pos_c.shape)
+                # reference sign convention: pred approximates +dlogp-sum form
+                pos_c = pos_c - step_size * score + jnp.sqrt(2.0 * step_size) * noise
+                return pos_c
+
+            for ci in range(c.n_corrector):
+                pos_t = corrector(pos_t, jax.random.fold_in(kcorr, ci))
+
+            # ---- predictor
+            preds, t_vec = net_preds(i, cell_t, pos_t, types_t)
+
+            # cell: VP ancestral step in sigma_lim-normalized space
+            Bt_now = self.cell_sde._B(t_now)
+            Bt_prev = self.cell_sde._B(t_prev)
+            abar_now = jnp.exp(-Bt_now)
+            abar_prev = jnp.exp(-Bt_prev)
+            alpha_i = abar_now / abar_prev
+            beta_i = 1.0 - alpha_i
+            cell_n = cell_t / sigma_lim
+            eps_hat = preds["cell"]
+            mean_n = (cell_n - beta_i / jnp.sqrt(1.0 - abar_now) * eps_hat) / jnp.sqrt(
+                alpha_i
+            )
+            post_var = beta_i * (1.0 - abar_prev) / jnp.maximum(1.0 - abar_now, 1e-12)
+            cell_next = sigma_lim * (
+                mean_n
+                + nz * jnp.sqrt(jnp.maximum(post_var, 0.0))
+                * jax.random.normal(kc, cell_n.shape)
+            )
+            if c.sample_clip is not None:
+                cell_next = jnp.clip(cell_next, -c.sample_clip, c.sample_clip)
+
+            # coords: VE ancestral (sigma^2 difference) with sigma-scaled score
+            sigma_prev = self.coord_ve.sigma(jnp.full((B,), t_prev))[:, None, None]
+            sigma_prev = jnp.where(last, 0.0, sigma_prev)
+            score = preds["pos"] / jnp.maximum(sigma_now, 1e-8)
+            p_step = sigma_now**2 - sigma_prev**2
+            p_std = jnp.sqrt(
+                jnp.maximum(sigma_prev**2 * p_step, 0.0)
+                / jnp.maximum(sigma_now**2, 1e-12)
+            )
+            pos_next = (
+                pos_t - p_step * score + nz * p_std * jax.random.normal(kp, pos_t.shape)
+            ) % 1.0
+
+            # types: D3PM ancestral from the posterior
+            post_logits = self.d3pm.posterior_logits(
+                types_t, preds["atomic_numbers"], t_vec
+            )
+            types_next = jax.random.categorical(kt_, post_logits)
+            types_next = jnp.where(last, jnp.argmax(post_logits, axis=-1), types_next)
+
+            ys = None
+            if record_traj:
+                ys = dict(cell=cell_next, pos=pos_next, types=types_next)
+            return (cell_next, pos_next, types_next), ys
+
+        (cell, pos, types), traj = jax.lax.scan(
+            step, (cell, pos, types), jnp.arange(N)
+        )
+
+        # D3PM classes are 0-based; MASK (absorbing) falls outside 1..K and is
+        # clamped to class 0 = padding-invalid, filtered downstream.
+        atom_types = jnp.where(types < self.d3pm.num_classes, types + 1, 0)
+        atom_types = jnp.where(mask, atom_types, 0).astype(jnp.int32)
+        final = CrystalBatch(
+            atom_types=atom_types,
+            frac_coords=pos % 1.0,
+            lattice=cell,
+            num_atoms=num_atoms,
+        )
+        return final, traj

@@ -1,0 +1,136 @@
+"""MatterGen-class score network (TPU-native).
+
+Replaces the external GemNet-style denoiser the reference loads through the
+mattergen package (SURVEY.md §2.2, invoked as ``diffusion_module.model(
+noisy_batch, t)`` at /root/reference/models/mattergen/pl_module.py:43,73).
+Not a GemNet translation: a dense masked message-passing network in the same
+spirit as CSPNet (TPU-friendly static shapes), extended with
+
+* D3PM discrete-type inputs (integer classes incl. optional MASK state),
+* property conditioning with learned null embeddings for classifier-free
+  guidance (mattergen's ``properties_to_condition_on`` +
+  ``diffusion_guidance_factor``, models/mattergen/sample.py:134-136),
+* a symmetrized per-graph cell-score head (lattice scores are defined on the
+  symmetric degrees of freedom),
+* per-atom type logits predicting the x0 distribution for the D3PM chain.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from matinvent_tpu.models.cspnet import CSPLayer
+from matinvent_tpu.ops.segment import masked_mean
+
+
+class ConditionEmbedding(nn.Module):
+    """Embed a dict of scalar conditions; learned null embedding per field.
+
+    Each field embeds its scalar value with a 2-layer MLP; a missing/dropped
+    condition contributes its learned null vector instead (the CFG
+    'unconditional' token).
+    """
+
+    fields: tuple = ()
+    dim: int = 128
+
+    @nn.compact
+    def __call__(
+        self,
+        conditions: Mapping[str, jax.Array] | None,  # each [B]
+        cond_mask: Mapping[str, jax.Array] | None = None,  # each [B] bool: use cond?
+        batch_size: int | None = None,
+    ) -> jax.Array:
+        if not self.fields:
+            return jnp.zeros((batch_size, self.dim))
+        conditions = conditions or {}
+        outs = []
+        for f in self.fields:
+            null = self.param(f"null_{f}", nn.initializers.normal(0.02), (self.dim,))
+            if f in conditions and conditions[f] is not None:
+                v = conditions[f].astype(jnp.float32)[:, None]
+                emb = nn.Dense(self.dim, name=f"embed_{f}_0")(v)
+                emb = nn.silu(emb)
+                emb = nn.Dense(self.dim, name=f"embed_{f}_1")(emb)
+                if cond_mask is not None and f in cond_mask:
+                    use = cond_mask[f][:, None].astype(emb.dtype)
+                    emb = use * emb + (1.0 - use) * null[None, :]
+            else:
+                b = batch_size if batch_size is not None else 1
+                emb = jnp.broadcast_to(null[None, :], (b, self.dim))
+            outs.append(emb)
+        return sum(outs)
+
+
+class MatterGenScoreNet(nn.Module):
+    """Joint (cell, frac-coord, type) denoiser over padded crystal batches."""
+
+    hidden_dim: int = 256
+    time_dim: int = 256
+    num_layers: int = 6
+    type_vocab: int = 100  # incl. MASK when the D3PM chain is absorbing
+    num_freqs: int = 10
+    ln: bool = True
+    condition_fields: tuple = ()
+
+    @nn.compact
+    def __call__(
+        self,
+        t_emb: jax.Array,  # [B, time_dim]
+        atom_types: jax.Array,  # [B, A] int (D3PM state, 0-based classes)
+        frac_coords: jax.Array,  # [B, A, 3]
+        lattice: jax.Array,  # [B, 3, 3]
+        num_atoms: jax.Array,  # [B]
+        mask: jax.Array,  # [B, A]
+        conditions: Mapping[str, jax.Array] | None = None,
+        cond_mask: Mapping[str, jax.Array] | None = None,
+    ):
+        H = self.hidden_dim
+        B = frac_coords.shape[0]
+
+        node = nn.Embed(self.type_vocab, H, name="type_embedding")(atom_types)
+
+        cond = ConditionEmbedding(
+            fields=tuple(self.condition_fields), dim=self.time_dim, name="cond_emb"
+        )(conditions, cond_mask, batch_size=B)
+        latent = t_emb + cond
+
+        lat_per_atom = jnp.broadcast_to(
+            latent[:, None, :], (B, node.shape[1], latent.shape[-1])
+        )
+        node = nn.Dense(H, name="atom_latent_emb")(
+            jnp.concatenate([node, lat_per_atom], axis=-1)
+        )
+
+        frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
+
+        for i in range(self.num_layers):
+            node = CSPLayer(
+                hidden_dim=H,
+                num_freqs=self.num_freqs,
+                ln=self.ln,
+                ip=True,
+                name=f"layer_{i}",
+            )(node, frac_diff, lattice, mask, num_atoms)
+
+        if self.ln:
+            node = nn.LayerNorm(name="final_norm")(node)
+
+        # per-atom frac-coord score
+        pos_out = nn.Dense(3, use_bias=False, name="pos_out")(node)
+
+        # per-graph symmetric cell score, right-coupled to the current cell
+        graph = masked_mean(node, mask[..., None], axis=1)
+        cell_raw = nn.Dense(9, use_bias=False, name="cell_out")(graph).reshape(-1, 3, 3)
+        cell_sym = 0.5 * (cell_raw + jnp.swapaxes(cell_raw, -1, -2))
+        cell_out = jnp.einsum(
+            "bij,bjk->bik", cell_sym, lattice, precision=jax.lax.Precision.HIGHEST
+        )
+
+        # per-atom x0-distribution logits for the D3PM chain
+        type_out = nn.Dense(self.type_vocab, name="type_out")(node)
+
+        return {"cell": cell_out, "pos": pos_out, "atomic_numbers": type_out}

@@ -56,16 +56,27 @@ class FinetuneStep:
         batch: CrystalBatch,
         rewards: jax.Array,
         key: jax.Array,
+        conditions: Any = None,
     ):
         """One epoch = scan over accumulation chunks with optimizer updates."""
+
+        def loss_fn(p, ck, t_idx):
+            if conditions is None:
+                return self.diffusion.rl_chunk_loss(
+                    p, prior_params, batch, rewards, ck, t_idx, self.sigma_kl
+                )
+            return self.diffusion.rl_chunk_loss(
+                p, prior_params, batch, rewards, ck, t_idx, self.sigma_kl,
+                conditions=conditions,
+            )
 
         def chunk_step(carry, c):
             p, o = carry
             t_idx = c * self.accum_steps + jnp.arange(self.accum_steps)
             ck = jax.random.fold_in(key, c)
-            (loss, aux), grads = jax.value_and_grad(
-                self.diffusion.rl_chunk_loss, has_aux=True
-            )(p, prior_params, batch, rewards, ck, t_idx, self.sigma_kl)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, ck, t_idx
+            )
             updates, o = self.optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return (p, o), (loss, aux)
@@ -88,6 +99,7 @@ class FinetuneStep:
         batch: CrystalBatch,
         rewards: jax.Array,
         key: jax.Array,
+        conditions: Any = None,
     ):
         """Full finetune for one RL iteration: fresh Adam, ``epochs`` epochs.
 
@@ -99,7 +111,7 @@ class FinetuneStep:
         for e in range(self.epochs):
             ek = jax.random.fold_in(key, e)
             params, opt_state, metrics = self.epoch(
-                params, opt_state, prior_params, batch, rewards, ek
+                params, opt_state, prior_params, batch, rewards, ek, conditions
             )
             all_metrics.append({k: float(v) for k, v in metrics.items()})
         return params, all_metrics

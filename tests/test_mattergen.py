@@ -1,0 +1,187 @@
+"""MatterGen-family tests: corruption processes, D3PM, score net, sampler,
+conditional guidance, RL losses."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matinvent_tpu.models.batch import CrystalBatch
+from matinvent_tpu.models.mattergen.corruption import (
+    LatticeVPSDE,
+    TypeD3PM,
+    WrappedCoordVE,
+)
+from matinvent_tpu.models.mattergen.diffusion import (
+    MatterGenConfig,
+    MatterGenDiffusion,
+)
+from matinvent_tpu.models.mattergen.sample import MatterGenSampler
+
+
+@pytest.fixture(scope="module")
+def tiny_mg():
+    cfg = MatterGenConfig(
+        hidden_dim=32, num_layers=2, time_dim=16, timesteps=12,
+        condition_fields=("dft_mag_density",), sample_clip=100.0,
+    )
+    return MatterGenDiffusion(cfg)
+
+
+@pytest.fixture(scope="module")
+def mg_params(tiny_mg):
+    return tiny_mg.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=6)
+
+
+def make_batch(key, B=3, A=6):
+    kx, kl, kt = jax.random.split(key, 3)
+    num_atoms = jnp.array([A, A - 2, A - 1][:B], jnp.int32)
+    at = jax.random.randint(kt, (B, A), 1, 90)
+    at = jnp.where(jnp.arange(A)[None] < num_atoms[:, None], at, 0)
+    return CrystalBatch(
+        atom_types=at,
+        frac_coords=jax.random.uniform(kx, (B, A, 3)),
+        lattice=jnp.eye(3)[None].repeat(B, 0) * 4.0
+        + 0.1 * jax.random.normal(kl, (B, 3, 3)),
+        num_atoms=num_atoms,
+    )
+
+
+class TestCorruptions:
+    def test_vp_marginal_limits(self):
+        sde = LatticeVPSDE()
+        x0 = jnp.eye(3)[None] * 4.0
+        n = jnp.array([8])
+        mean0, std0 = sde.marginal(x0, jnp.array([1e-4]), n)
+        np.testing.assert_allclose(mean0, x0, rtol=1e-3)
+        assert float(std0.max()) < 0.1
+        mean1, std1 = sde.marginal(x0, jnp.array([1.0]), n)
+        # at t=1 mean nearly gone, std near the limit
+        assert float(jnp.abs(mean1).max()) < 0.1
+        np.testing.assert_allclose(
+            float(std1.max()), float(sde.limit_std(n)[0]), rtol=0.01
+        )
+
+    def test_vp_limit_scales_with_atoms(self):
+        sde = LatticeVPSDE()
+        assert float(sde.limit_std(jnp.array([20]))[0]) > float(
+            sde.limit_std(jnp.array([2]))[0]
+        )
+
+    def test_ve_sigma_endpoints(self):
+        ve = WrappedCoordVE(sigma_min=0.005, sigma_max=0.5)
+        np.testing.assert_allclose(
+            np.asarray(ve.sigma(jnp.array([0.0]))), [0.005], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ve.sigma(jnp.array([1.0]))), [0.5], rtol=1e-5
+        )
+
+    def test_d3pm_marginal_identity_at_t0(self):
+        d = TypeD3PM.create(num_classes=10, num_steps=20)
+        x0 = jnp.array([[3, 7, 1]])
+        oh = jax.nn.one_hot(x0, d.vocab)
+        probs = d.q_t_given_0(oh, jnp.array([1.0 / 20]))
+        # at the first step most mass stays on x0
+        assert float(jnp.take_along_axis(probs, x0[..., None], -1).min()) > 0.9
+
+    def test_d3pm_marginal_uniform_at_t1(self):
+        d = TypeD3PM.create(num_classes=10, num_steps=20)
+        x0 = jnp.array([[3, 7, 1]])
+        oh = jax.nn.one_hot(x0, d.vocab)
+        probs = d.q_t_given_0(oh, jnp.array([1.0]))
+        np.testing.assert_allclose(np.asarray(probs), 1.0 / 10, atol=0.05)
+
+    def test_d3pm_posterior_collapses_at_t1(self):
+        d = TypeD3PM.create(num_classes=10, num_steps=20)
+        x_t = jnp.array([[2, 5]])
+        x0_logits = jnp.log(jax.nn.one_hot(jnp.array([[3, 7]]), d.vocab) + 1e-20)
+        post = d.posterior_logits(x_t, x0_logits, jnp.array([1.0 / 20]))
+        assert (jnp.argmax(post, -1) == jnp.array([[3, 7]])).all()
+
+    def test_d3pm_absorbing_prior(self):
+        d = TypeD3PM.create(num_classes=10, num_steps=20, kind="absorbing")
+        assert d.vocab == 11
+        prior = d.prior_sample(jax.random.PRNGKey(0), (2, 3))
+        assert (prior == 10).all()
+
+
+class TestMatterGenDiffusion:
+    def test_add_noise_grid_mapping(self, tiny_mg):
+        b = make_batch(jax.random.PRNGKey(1))
+        _, _, t0 = tiny_mg.add_noise(jax.random.PRNGKey(0), b, 0)
+        _, _, tN = tiny_mg.add_noise(jax.random.PRNGKey(0), b, tiny_mg.config.timesteps - 1)
+        np.testing.assert_allclose(float(t0[0]), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(tN[0]), 1.0 / tiny_mg.config.timesteps, rtol=1e-4
+        )
+
+    def test_losses_finite_and_per_sample(self, tiny_mg, mg_params):
+        b = make_batch(jax.random.PRNGKey(2))
+        noised, targets, _ = tiny_mg.add_noise(jax.random.PRNGKey(1), b, 4)
+        loss, preds = tiny_mg.sample_losses(
+            mg_params, noised, targets, b.num_atoms, b.mask
+        )
+        assert loss.shape == (3,)
+        assert bool(jnp.all(jnp.isfinite(loss)))
+        kl = tiny_mg.kl_reg(preds, preds, b.mask)
+        np.testing.assert_allclose(kl, 0.0, atol=1e-12)
+
+    def test_rl_chunk_grads(self, tiny_mg, mg_params):
+        b = make_batch(jax.random.PRNGKey(3))
+        rewards = jnp.array([0.9, 0.5, 0.1])
+
+        def loss_fn(p):
+            l, _ = tiny_mg.rl_chunk_loss(
+                p, mg_params, b, rewards, jax.random.PRNGKey(2), jnp.arange(3), 0.025
+            )
+            return l
+
+        val, grads = jax.value_and_grad(loss_fn)(mg_params)
+        assert bool(jnp.isfinite(val))
+        assert all(
+            bool(jnp.all(jnp.isfinite(g))) for g in jax.tree_util.tree_leaves(grads)
+        )
+
+    def test_sample_shapes(self, tiny_mg, mg_params):
+        params = jax.tree.map(lambda x: x * 0.02, mg_params)
+        num_atoms = jnp.array([4, 6], jnp.int32)
+        final, traj = tiny_mg.sample(
+            params, jax.random.PRNGKey(4), num_atoms, max_atoms=6
+        )
+        assert traj is None
+        at = np.asarray(final.atom_types)
+        mask = np.asarray(final.mask)
+        assert (at[mask] >= 1).all() and (at[mask] <= 100).all()
+        fc = np.asarray(final.frac_coords)
+        assert (fc >= 0).all() and (fc < 1).all()
+        assert np.isfinite(np.asarray(final.lattice)).all()
+
+    def test_sample_guidance_changes_output(self, tiny_mg, mg_params):
+        params = jax.tree.map(lambda x: x * 0.02, mg_params)
+        num_atoms = jnp.array([4, 6], jnp.int32)
+        cond = {"dft_mag_density": jnp.array([0.2, 0.2])}
+        f0, _ = tiny_mg.sample(
+            params, jax.random.PRNGKey(5), num_atoms, max_atoms=6,
+            conditions=cond, guidance=0.0,
+        )
+        f2, _ = tiny_mg.sample(
+            params, jax.random.PRNGKey(5), num_atoms, max_atoms=6,
+            conditions=cond, guidance=2.0,
+        )
+        assert not np.allclose(np.asarray(f0.lattice), np.asarray(f2.lattice))
+
+
+class TestMatterGenSampler:
+    def test_generate_and_csp_mode(self, tiny_mg, mg_params):
+        params = jax.tree.map(lambda x: x * 0.02, mg_params)
+        sampler = MatterGenSampler(batch_size=4, num_batches=1, max_atoms=8, seed=0)
+        data, strucs = sampler.generate((tiny_mg, params))
+        assert len(strucs) == 4
+
+        csp = MatterGenSampler(
+            batch_size=4, num_batches=1, max_atoms=8, seed=0,
+            target_compositions_dict=[{"Na": 1, "Cl": 1}, {"Mg": 1, "O": 1}],
+        )
+        data, strucs = csp.generate((tiny_mg, params))
+        formulas = {s.composition.reduced_formula for s in strucs}
+        assert formulas == {"NaCl", "MgO"}
