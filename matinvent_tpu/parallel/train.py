@@ -47,7 +47,11 @@ class FinetuneStep:
             raise ValueError("timesteps must be divisible by accum_steps")
         self.n_chunks = self.timesteps // self.accum_steps
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnames=("params", "opt_state"))
+    # NOTE: no buffer donation here — donating params/opt_state triggers an
+    # INVALID_ARGUMENT backend error on the axon TPU relay (verified by
+    # bisection; the identical program without donation runs fine), and the
+    # score networks are small enough that donation saves nothing meaningful.
+    @partial(jax.jit, static_argnames=("self",))
     def epoch(
         self,
         params: Any,

@@ -42,6 +42,7 @@ class MatInvent(ReinL):
         div_filter: bool = False,
         df_args: Dict | None = None,
         seed: int = 0,
+        resume: bool = False,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -66,6 +67,46 @@ class MatInvent(ReinL):
 
         self.load_model()
         self.finetuner = self.model_suite.get_finetuner(**self.finetune_cfg)
+
+        # full-state resume (beyond the reference, which restarts manually
+        # from weight snapshots only — SURVEY.md §5 checkpoint/resume gap)
+        self.resume = resume
+        self.state_dir = os.path.join(save_dir, "state")
+        self._start_step = 0
+        if resume:
+            self._try_resume()
+
+    def _try_resume(self):
+        from matinvent_tpu.utils.checkpoint import load_run_state
+
+        loaded = load_run_state(self.state_dir, self.agent_params)
+        if loaded is None:
+            logging.info("resume requested but no run state found; starting fresh")
+            return
+        self.agent_params, host = loaded
+        self._start_step = host["step"] + 1
+        self.cost = host["cost"]
+        self._key = jnp.asarray(host["key"])
+        if host.get("replay_buffer") is not None and self.replay is not None:
+            self.replay.buffer = host["replay_buffer"]
+        if host.get("ltm_memory") is not None:
+            self.ltm.memory = host["ltm_memory"]
+            if len(self.ltm.memory):
+                self.ltm.unique_comps = self.ltm.memory["comp"].unique()
+        logging.info(f"resumed run state at step {self._start_step}")
+
+    def _save_state(self):
+        from matinvent_tpu.utils.checkpoint import save_run_state
+
+        save_run_state(
+            self.state_dir,
+            self.agent_params,
+            self.step,
+            self.cost,
+            self._key,
+            replay_buffer=self.replay,
+            ltm=self.ltm,
+        )
 
     def load_model(self):
         """Agent = trainable copy, prior = frozen copy of the pretrained model
@@ -234,9 +275,10 @@ class MatInvent(ReinL):
     def run_rl(self):
         logging.info("*****   RL START   *****")
         start_time = time.time()
-        for step in range(self.rl_epoch):
+        for step in range(self._start_step, self.rl_epoch):
             self.step = step
             self.rl_step()
+            self._save_state()
             if (step + 1) % self.save_freq == 0:
                 ckpt_dir = os.path.join(self.models_dir, f"loop_{step:0>4d}")
                 self.model_suite.save_model(self.agent_params, ckpt_dir)
