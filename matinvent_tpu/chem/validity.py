@@ -36,12 +36,23 @@ def _pauling_ok(symbols: list[str], ox: tuple[int, ...]) -> bool:
 @lru_cache(maxsize=65536)
 def _smact_valid_cached(symbols: tuple[str, ...], counts: tuple[int, ...]) -> bool:
     ox_lists = []
-    total = 1
     for s in symbols:
         states = OXIDATION_STATES.get(s, [])
         if not states:
             return False
         ox_lists.append(states)
+
+    # native DFS with charge/Pauling pruning (matinvent_tpu/native); falls
+    # back to the Python product enumeration when no toolchain is available
+    from matinvent_tpu.native import charge_balanced_native
+
+    ens = [ELECTRONEGATIVITY.get(s) for s in symbols]
+    native = charge_balanced_native(ox_lists, list(counts), ens)
+    if native is not None:
+        return native
+
+    total = 1
+    for states in ox_lists:
         total *= len(states)
     if total > _MAX_COMBOS:
         return False

@@ -53,30 +53,51 @@ def invalid_filter(
 class ReferenceDataset:
     """Reference entries for novelty/stability screens.
 
-    Minimal counterpart of the reference's LMDB reference dataset
-    (opt_filter.py:89-95): a list of known structures (novelty) and optional
-    per-composition formation energies (stability via convex hull, see
-    ``energy_above_hull``).
+    Counterpart of the reference's LMDB reference dataset
+    (opt_filter.py:89-95): known structures (novelty matching) plus known-phase
+    energies (stability via convex hull, chem/ehull.py).
     """
 
     def __init__(
         self,
         structures: Sequence[Structure] | None = None,
-        energies_per_atom: dict[str, float] | None = None,
+        phase_entries: Sequence | None = None,
     ):
+        from matinvent_tpu.chem.ehull import ConvexHullReference, PhaseEntry
+
         self.structures = list(structures or [])
-        # mapping reduced_formula -> energy per atom (eV) of known phases
-        self.energies_per_atom = dict(energies_per_atom or {})
+        entries = [
+            e if isinstance(e, PhaseEntry) else PhaseEntry.make(e[0], e[1])
+            for e in (phase_entries or [])
+        ]
+        self.hull = ConvexHullReference(entries) if entries else None
+
+    @classmethod
+    def from_files(
+        cls,
+        structures_path: str | None = None,
+        energies_path: str | None = None,
+    ) -> "ReferenceDataset":
+        """Load from an extxyz file (novelty structures) and/or a JSON file
+        mapping formula -> energy per atom (stability hull)."""
+        import json
+
+        from matinvent_tpu.chem.structure import read_extxyz
+
+        structures = read_extxyz(structures_path) if structures_path else []
+        entries = []
+        if energies_path:
+            with open(energies_path) as fh:
+                entries = list(json.load(fh).items())
+        return cls(structures=structures, phase_entries=entries)
 
     @property
     def known_elements(self) -> set[str]:
         els: set[str] = set()
         for s in self.structures:
             els.update(s.composition.elements)
-        for formula in self.energies_per_atom:
-            from matinvent_tpu.chem.composition import Composition
-
-            els.update(Composition(formula).elements)
+        if self.hull is not None:
+            els |= self.hull.known_elements
         return els
 
 
@@ -102,6 +123,7 @@ class OptFilter:
         stability_fn: Callable | None = None,
         structure_matcher: Literal["ordered", "disordered"] = "disordered",
         num_workers: int | None = None,
+        ehull_threshold: float = 0.1,
         **kwargs,
     ) -> None:
         assert all(m in METRIC_LIST for m in metrics), f"metrics must be in {METRIC_LIST}"
@@ -112,6 +134,7 @@ class OptFilter:
         self.stability_fn = stability_fn
         self.matcher = StructureMatcher()
         self.num_workers = num_workers
+        self.ehull_threshold = ehull_threshold
 
     def pre_filter_elements(self, data_list: list, structures: List[Structure]):
         """Drop samples whose elements are unknown to the reference dataset
@@ -146,12 +169,12 @@ class OptFilter:
             masks["stable"] = np.asarray(
                 self.stability_fn(structures, energies, self.reference), dtype=bool
             )
-        elif energies is not None and self.reference.energies_per_atom:
-            masks["stable"] = np.array(
-                [
-                    self._default_stable(s, e)
-                    for s, e in zip(structures, energies)
-                ]
+        elif energies is not None and self.reference.hull is not None:
+            from matinvent_tpu.chem.ehull import stable_mask
+
+            masks["stable"] = stable_mask(
+                structures, energies, self.reference.hull,
+                threshold=self.ehull_threshold,
             )
         else:
             masks["stable"] = np.ones(n, dtype=bool)
@@ -160,13 +183,6 @@ class OptFilter:
         sun = masks["stable"] & masks["unique"] & masks["novel"]
         metric_values["frac_sun"] = float(sun.mean())
         return masks, metric_values
-
-    def _default_stable(self, s: Structure, energy: float, tol: float = 0.1) -> bool:
-        """Energy-per-atom vs known phase of same composition within tol eV."""
-        ref = self.reference.energies_per_atom.get(s.composition.reduced_formula)
-        if ref is None:
-            return False
-        return (energy / max(s.num_atoms, 1)) <= ref + tol
 
     def __call__(
         self,
