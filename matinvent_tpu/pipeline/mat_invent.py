@@ -43,6 +43,8 @@ class MatInvent(ReinL):
         df_args: Dict | None = None,
         seed: int = 0,
         resume: bool = False,
+        profile_dir: str | None = None,
+        profile_steps: int = 1,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -67,6 +69,12 @@ class MatInvent(ReinL):
 
         self.load_model()
         self.finetuner = self.model_suite.get_finetuner(**self.finetune_cfg)
+
+        # jax.profiler tracing of the first `profile_steps` RL iterations
+        # (SURVEY.md §5: the reference has no tracing at all)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
         # full-state resume (beyond the reference, which restarts manually
         # from weight snapshots only — SURVEY.md §5 checkpoint/resume gap)
@@ -277,7 +285,14 @@ class MatInvent(ReinL):
         start_time = time.time()
         for step in range(self._start_step, self.rl_epoch):
             self.step = step
+            if self.profile_dir and step == self._start_step:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
             self.rl_step()
+            if self._profiling and step + 1 >= self._start_step + self.profile_steps:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logging.info(f"profiler trace written to {self.profile_dir}")
             self._save_state()
             if (step + 1) % self.save_freq == 0:
                 ckpt_dir = os.path.join(self.models_dir, f"loop_{step:0>4d}")
