@@ -30,7 +30,8 @@ def main() -> None:
 
     B, A, T = 64, 20, 1000
     cfg = DiffCSPConfig(
-        hidden_dim=128, num_layers=4, time_dim=256, timesteps=T, sample_clip=1e4
+        hidden_dim=128, num_layers=4, time_dim=256, timesteps=T, sample_clip=1e4,
+        sample_dtype="bfloat16",
     )
     diffusion = DiffCSPDiffusion(cfg)
     params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)

@@ -53,6 +53,7 @@ class CSPLayer(nn.Module):
     use_dis_emb: bool = True
     ln: bool = False
     ip: bool = True
+    dtype: object = jnp.float32  # activation/compute dtype; params stay f32
 
     @nn.compact
     def __call__(
@@ -67,12 +68,16 @@ class CSPLayer(nn.Module):
         dis_dim = self.num_freqs * 2 * 3 if self.use_dis_emb else 3
         node_input = node_features
         if self.ln:
-            node_features = nn.LayerNorm(name="layer_norm")(node_features)
+            node_features = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(node_features)
+        node_features = node_features.astype(self.dtype)
 
+        # periodic Fourier features in f32 (bf16 coords are too coarse for
+        # high-frequency phases), cast afterwards for the MXU matmul
         if self.use_dis_emb:
-            dist = sinusoids_embedding(frac_diff, self.num_freqs)  # [B,A,A,E]
+            dist = sinusoids_embedding(frac_diff.astype(jnp.float32), self.num_freqs)
         else:
             dist = frac_diff
+        dist = dist.astype(self.dtype)
 
         if self.ip:
             lattice_ips = jnp.einsum(
@@ -89,9 +94,12 @@ class CSPLayer(nn.Module):
             "edge_mlp_0_kernel",
             nn.initializers.lecun_normal(),
             (in_dim, H),
-            node_features.dtype,
+            jnp.float32,
         )
-        b = self.param("edge_mlp_0_bias", nn.initializers.zeros, (H,), node_features.dtype)
+        b = self.param("edge_mlp_0_bias", nn.initializers.zeros, (H,), jnp.float32)
+        w = w.astype(self.dtype)
+        b = b.astype(self.dtype)
+        lattice_flat = lattice_flat.astype(self.dtype)
         w_i, w_j, w_l, w_d = jnp.split(w, [H, 2 * H, 2 * H + 9], axis=0)
         term_i = node_features @ w_i  # [B, A, H] -> broadcast over j
         term_j = node_features @ w_j  # [B, A, H] -> broadcast over i
@@ -105,7 +113,7 @@ class CSPLayer(nn.Module):
             + b
         )
         edge = nn.silu(edge)
-        edge = nn.silu(nn.Dense(H, name="edge_mlp_1")(edge))
+        edge = nn.silu(nn.Dense(H, name="edge_mlp_1", dtype=self.dtype)(edge))
 
         # Aggregate at node i over all j in the same graph (self-loop incl.):
         # masked mean with denominator num_atoms (scatter-mean parity).
@@ -113,9 +121,9 @@ class CSPLayer(nn.Module):
         agg = jnp.sum(edge, axis=2) / jnp.maximum(num_atoms, 1).astype(edge.dtype)[:, None, None]
 
         out = jnp.concatenate([node_features, agg], axis=-1)
-        out = nn.silu(nn.Dense(H, name="node_mlp_0")(out))
-        out = nn.silu(nn.Dense(H, name="node_mlp_1")(out))
-        return node_input + out
+        out = nn.silu(nn.Dense(H, name="node_mlp_0", dtype=self.dtype)(out))
+        out = nn.silu(nn.Dense(H, name="node_mlp_1", dtype=self.dtype)(out))
+        return node_input + out.astype(node_input.dtype)
 
 
 class CSPNet(nn.Module):
@@ -132,6 +140,7 @@ class CSPNet(nn.Module):
     smooth: bool = True  # diffusion uses relaxed one-hot "probs" inputs
     pred_type: bool = True
     pred_scalar: bool = False
+    dtype: object = jnp.float32  # activation/compute dtype; params stay f32
 
     @nn.compact
     def __call__(
@@ -144,17 +153,20 @@ class CSPNet(nn.Module):
         mask: jax.Array,  # [B, A]
     ):
         if self.smooth:
-            node = nn.Dense(self.hidden_dim, name="node_embedding")(atom_feats)
-        else:
-            node = nn.Embed(self.max_atoms, self.hidden_dim, name="node_embedding")(
-                atom_feats - 1
+            node = nn.Dense(self.hidden_dim, name="node_embedding", dtype=self.dtype)(
+                atom_feats
             )
+        else:
+            node = nn.Embed(
+                self.max_atoms, self.hidden_dim, name="node_embedding",
+                dtype=self.dtype,
+            )(atom_feats - 1)
 
         t_per_atom = jnp.broadcast_to(
             t_emb[:, None, :], (node.shape[0], node.shape[1], t_emb.shape[-1])
         )
-        node = jnp.concatenate([node, t_per_atom], axis=-1)
-        node = nn.Dense(self.hidden_dim, name="atom_latent_emb")(node)
+        node = jnp.concatenate([node, t_per_atom.astype(node.dtype)], axis=-1)
+        node = nn.Dense(self.hidden_dim, name="atom_latent_emb", dtype=self.dtype)(node)
 
         # (x_j - x_i) mod 1 over the dense fc edge tensor.
         frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
@@ -166,28 +178,32 @@ class CSPNet(nn.Module):
                 use_dis_emb=self.use_dis_emb,
                 ln=self.ln,
                 ip=self.ip,
+                dtype=self.dtype,
                 name=f"csp_layer_{i}",
             )(node, frac_diff, lattice, mask, num_atoms)
 
         if self.ln:
-            node = nn.LayerNorm(name="final_layer_norm")(node)
+            node = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(node)
 
-        coord_out = nn.Dense(3, use_bias=False, name="coord_out")(node)
+        coord_out = nn.Dense(3, use_bias=False, name="coord_out", dtype=self.dtype)(node)
 
         graph_features = masked_mean(node, mask[..., None], axis=1)  # [B, H]
 
         if self.pred_scalar:
             return nn.Dense(1, name="scalar_out")(graph_features)
 
-        lattice_out = nn.Dense(9, use_bias=False, name="lattice_out")(graph_features)
-        lattice_out = lattice_out.reshape(-1, 3, 3)
+        lattice_out = nn.Dense(
+            9, use_bias=False, name="lattice_out", dtype=self.dtype
+        )(graph_features)
+        lattice_out = lattice_out.reshape(-1, 3, 3).astype(jnp.float32)
         if self.ip:
             lattice_out = jnp.einsum(
-                "bij,bjk->bik", lattice_out, lattice, precision=jax.lax.Precision.HIGHEST
+                "bij,bjk->bik", lattice_out, lattice.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         if self.pred_type:
-            type_out = nn.Dense(self.max_atoms, name="type_out")(node)
-            return lattice_out, coord_out, type_out
+            type_out = nn.Dense(self.max_atoms, name="type_out", dtype=self.dtype)(node)
+            return lattice_out, coord_out.astype(jnp.float32), type_out.astype(jnp.float32)
 
-        return lattice_out, coord_out
+        return lattice_out, coord_out.astype(jnp.float32)

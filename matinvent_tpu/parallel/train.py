@@ -119,3 +119,93 @@ class FinetuneStep:
             )
             all_metrics.append({k: float(v) for k, v in metrics.items()})
         return params, all_metrics
+
+
+class DDPOFinetuneStep:
+    """DDPO-style policy-gradient finetune over recorded sampling trajectories.
+
+    The reference ships this machinery unwired (forward_logprb /
+    sample_mdp, SURVEY.md §7 'vestigial DDPO machinery'); here it is a
+    first-class alternative to the reward-weighted diffusion loss: sample with
+    ``record_traj=True``, then run PPO-clipped REINFORCE on the stored
+    per-timestep transition log-probs.
+
+    loss = -E[ min(r * A, clip(r, 1-eps, 1+eps) * A) ],
+    r = exp(new_logprob - old_logprob), A = advantage (reward - baseline).
+    """
+
+    def __init__(
+        self,
+        diffusion: DiffCSPDiffusion,
+        lr: float = 1e-5,
+        clip_eps: float = 0.2,
+        chunk: int = 50,
+        step_lr: float = 5e-6,
+    ):
+        self.diffusion = diffusion
+        self.clip_eps = clip_eps
+        self.chunk = chunk
+        self.step_lr = step_lr
+        self.optimizer = optax.adam(lr)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def update(
+        self,
+        params: Any,
+        opt_state: Any,
+        traj: dict,  # stacked [T, ...] recorded trajectory (record_traj=True)
+        num_atoms: jax.Array,  # [B]
+        mask: jax.Array,  # [B, A]
+        advantages: jax.Array,  # [B]
+    ):
+        T = traj["timestep"].shape[0]
+        n_chunks = T // self.chunk
+        old_lp = traj["log_prob_l"] + traj["log_prob_t"] + traj["log_prob_x"]
+
+        def chunk_loss(p, c):
+            idx = c * self.chunk + jnp.arange(self.chunk)
+
+            def one_step(i):
+                state = dict(
+                    timesteps=jnp.full(
+                        (num_atoms.shape[0],), traj["timestep"][i], jnp.int32
+                    ),
+                    atom_types=traj["atom_types"][i],
+                    frac_coords=traj["frac_coords"][i],
+                    frac_coords_mid=traj["frac_coords_mid"][i],
+                    next_frac_coords=traj["next_frac_coords"][i],
+                    lattices=traj["lattices"][i],
+                    next_lattices=traj["next_lattices"][i],
+                    next_atom_types=traj["next_atom_types"][i],
+                    num_atoms=num_atoms,
+                )
+                lp_l, lp_t, lp_x, _ = self.diffusion.forward_logprob(
+                    p, state, mask, self.step_lr
+                )
+                return lp_l + lp_t + lp_x, old_lp[i]
+
+            new_lp, old = jax.vmap(one_step)(idx)  # [C, B]
+            ratio = jnp.exp(jnp.clip(new_lp - old, -20.0, 20.0))
+            clipped = jnp.clip(ratio, 1.0 - self.clip_eps, 1.0 + self.clip_eps)
+            obj = jnp.minimum(ratio * advantages, clipped * advantages)
+            return -jnp.mean(obj)
+
+        def chunk_step(carry, c):
+            p, o = carry
+            loss, grads = jax.value_and_grad(chunk_loss)(p, c)
+            updates, o = self.optimizer.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            chunk_step, (params, opt_state), jnp.arange(n_chunks)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    def run(self, params, traj, num_atoms, mask, rewards, baseline=None):
+        adv = rewards - (baseline if baseline is not None else jnp.mean(rewards))
+        opt_state = self.optimizer.init(params)
+        params, opt_state, loss = self.update(
+            params, opt_state, traj, num_atoms, mask, adv
+        )
+        return params, float(loss)

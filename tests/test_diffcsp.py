@@ -210,3 +210,74 @@ class TestDiffusion:
         assert traj["log_prob_x"].shape == (T, 2)
         assert traj["frac_coords"].shape == (T, 2, 6, 3)
         assert bool(jnp.all(jnp.isfinite(traj["log_prob_l"])))
+
+
+class TestSampleDtype:
+    def test_bf16_sampling_close_to_f32(self, tiny_params):
+        """bf16 score-net evals must track the f32 trajectory closely."""
+        import dataclasses
+
+        cfg32 = DiffCSPConfig(hidden_dim=32, num_layers=2, time_dim=16, timesteps=12)
+        cfg16 = dataclasses.replace(cfg32, sample_dtype="bfloat16")
+        d32, d16 = DiffCSPDiffusion(cfg32), DiffCSPDiffusion(cfg16)
+        params = jax.tree.map(lambda x: x * 0.02, tiny_params)
+        num_atoms = jnp.array([4, 6], jnp.int32)
+        f32, _ = d32.sample(params, jax.random.PRNGKey(0), num_atoms, max_atoms=6)
+        f16, _ = d16.sample(params, jax.random.PRNGKey(0), num_atoms, max_atoms=6)
+        # identical RNG; trajectories differ only through net rounding
+        d = np.abs(np.asarray(f32.frac_coords - f16.frac_coords))
+        d = np.minimum(d, 1 - d)
+        assert d.mean() < 0.1
+        assert np.isfinite(np.asarray(f16.lattice)).all()
+
+
+class TestDDPO:
+    def test_forward_logprob_matches_recorded(self, tiny_diffusion, tiny_params):
+        """Recomputed log-probs equal those recorded during sampling."""
+        diff = tiny_diffusion
+        params = jax.tree.map(lambda x: x * 0.02, tiny_params)
+        num_atoms = jnp.array([4, 6], jnp.int32)
+        final, traj = diff.sample(
+            params, jax.random.PRNGKey(9), num_atoms, max_atoms=6,
+            step_lr=1e-5, record_traj=True,
+        )
+        mask = final.mask
+        i = 2  # some mid-trajectory step (t > 1)
+        state = dict(
+            timesteps=jnp.full((2,), traj["timestep"][i], jnp.int32),
+            atom_types=traj["atom_types"][i],
+            frac_coords=traj["frac_coords"][i],
+            frac_coords_mid=traj["frac_coords_mid"][i],
+            next_frac_coords=traj["next_frac_coords"][i],
+            lattices=traj["lattices"][i],
+            next_lattices=traj["next_lattices"][i],
+            next_atom_types=traj["next_atom_types"][i],
+            num_atoms=num_atoms,
+        )
+        lp_l, lp_t, lp_x, _ = diff.forward_logprob(params, state, mask, 1e-5)
+        np.testing.assert_allclose(lp_l, traj["log_prob_l"][i], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(lp_t, traj["log_prob_t"][i], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(lp_x, traj["log_prob_x"][i], rtol=1e-3, atol=1e-3)
+
+    def test_ddpo_update_changes_params(self, tiny_diffusion, tiny_params):
+        from matinvent_tpu.parallel.train import DDPOFinetuneStep
+
+        diff = tiny_diffusion
+        params = jax.tree.map(lambda x: x * 0.02, tiny_params)
+        num_atoms = jnp.array([4, 6], jnp.int32)
+        final, traj = diff.sample(
+            params, jax.random.PRNGKey(10), num_atoms, max_atoms=6,
+            step_lr=1e-5, record_traj=True,
+        )
+        ddpo = DDPOFinetuneStep(diff, lr=1e-4, chunk=4, step_lr=1e-5)
+        rewards = jnp.array([0.9, 0.1])
+        new_params, loss = ddpo.run(params, traj, num_atoms, final.mask, rewards)
+        assert np.isfinite(loss)
+        delta = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(new_params),
+                jax.tree_util.tree_leaves(params),
+            )
+        )
+        assert delta > 0
