@@ -61,8 +61,8 @@ class CSPLayer(nn.Module):
         node_features: jax.Array,  # [B, A, H]
         frac_diff: jax.Array,  # [B, A, A, 3]  (x_j - x_i) mod 1
         lattice: jax.Array,  # [B, 3, 3]
-        mask: jax.Array,  # [B, A]
-        num_atoms: jax.Array,  # [B]
+        edge_mask: jax.Array,  # [B, A, A] bool: j is a neighbor of i
+        denom: jax.Array,  # [B, A] aggregation denominator per node
     ) -> jax.Array:
         H = self.hidden_dim
         dis_dim = self.num_freqs * 2 * 3 if self.use_dis_emb else 3
@@ -115,10 +115,11 @@ class CSPLayer(nn.Module):
         edge = nn.silu(edge)
         edge = nn.silu(nn.Dense(H, name="edge_mlp_1", dtype=self.dtype)(edge))
 
-        # Aggregate at node i over all j in the same graph (self-loop incl.):
-        # masked mean with denominator num_atoms (scatter-mean parity).
-        edge = edge * mask[:, None, :, None].astype(edge.dtype)
-        agg = jnp.sum(edge, axis=2) / jnp.maximum(num_atoms, 1).astype(edge.dtype)[:, None, None]
+        # Aggregate at node i over its neighbors j (scatter-mean parity: for
+        # fc edges denom = num_atoms incl. the self-loop; for knn edges denom =
+        # per-node neighbor count).
+        edge = edge * edge_mask[..., None].astype(edge.dtype)
+        agg = jnp.sum(edge, axis=2) / jnp.maximum(denom, 1.0).astype(edge.dtype)[:, :, None]
 
         out = jnp.concatenate([node_features, agg], axis=-1)
         out = nn.silu(nn.Dense(H, name="node_mlp_0", dtype=self.dtype)(out))
@@ -141,6 +142,9 @@ class CSPNet(nn.Module):
     pred_type: bool = True
     pred_scalar: bool = False
     dtype: object = jnp.float32  # activation/compute dtype; params stay f32
+    edge_style: str = "fc"  # 'fc' (dense per-crystal) or 'knn' (PBC radius+rank)
+    cutoff: float = 6.0
+    max_neighbors: int = 20
 
     @nn.compact
     def __call__(
@@ -168,8 +172,27 @@ class CSPNet(nn.Module):
         node = jnp.concatenate([node, t_per_atom.astype(node.dtype)], axis=-1)
         node = nn.Dense(self.hidden_dim, name="atom_latent_emb", dtype=self.dtype)(node)
 
-        # (x_j - x_i) mod 1 over the dense fc edge tensor.
+        # (x_j - x_i) mod 1 over the dense edge tensor. Note: for the knn
+        # style the reference uses min-image offsets (utils.py:335-514); the
+        # Fourier features are 1-periodic, so mod-1 differences embed
+        # identically to min-image vectors.
         frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
+
+        if self.edge_style == "fc":
+            edge_mask = mask[:, :, None] & mask[:, None, :]
+            denom = jnp.broadcast_to(
+                num_atoms.astype(jnp.float32)[:, None], mask.shape
+            )
+        elif self.edge_style == "knn":
+            from matinvent_tpu.ops.neighbors import radius_knn_mask
+
+            edge_mask = radius_knn_mask(
+                frac_coords, lattice, mask,
+                cutoff=self.cutoff, max_neighbors=self.max_neighbors,
+            )
+            denom = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown edge_style {self.edge_style}")
 
         for i in range(self.num_layers):
             node = CSPLayer(
@@ -180,7 +203,7 @@ class CSPNet(nn.Module):
                 ip=self.ip,
                 dtype=self.dtype,
                 name=f"csp_layer_{i}",
-            )(node, frac_diff, lattice, mask, num_atoms)
+            )(node, frac_diff, lattice, edge_mask, denom)
 
         if self.ln:
             node = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(node)

@@ -68,6 +68,9 @@ class DiffCSPConfig:
     num_freqs: int = struct.field(pytree_node=False, default=10)
     ln: bool = struct.field(pytree_node=False, default=False)
     ip: bool = struct.field(pytree_node=False, default=True)
+    edge_style: str = struct.field(pytree_node=False, default="fc")
+    cutoff: float = struct.field(pytree_node=False, default=6.0)
+    max_neighbors: int = struct.field(pytree_node=False, default=20)
     timesteps: int = struct.field(pytree_node=False, default=1000)
     scheduler_mode: str = struct.field(pytree_node=False, default="cosine")
     sigma_begin: float = struct.field(pytree_node=False, default=0.01)
@@ -81,6 +84,11 @@ class DiffCSPConfig:
     # all update math stay float32 (only the net fwd is cast). Training always
     # runs float32.
     sample_dtype: str = struct.field(pytree_node=False, default="float32")
+    # Use the fused Pallas CSPLayer kernel for score-net evals inside the
+    # sampling scan (inference-only fast path; requires ln=False). Ignored on
+    # non-TPU backends unless running in interpret mode.
+    use_pallas_sampling: bool = struct.field(pytree_node=False, default=False)
+    pallas_block_b: int = struct.field(pytree_node=False, default=8)
     # Optional sampling-time guard: clip the unbounded diffusion channels
     # (lattice entries + type logits) to +/- this value inside the reverse
     # scan. The ip-coupled lattice head makes the DDPM recursion
@@ -103,6 +111,9 @@ class DiffCSPDiffusion:
             num_freqs=c.num_freqs,
             ln=c.ln,
             ip=c.ip,
+            edge_style=c.edge_style,
+            cutoff=c.cutoff,
+            max_neighbors=c.max_neighbors,
             smooth=True,
             pred_type=True,
         )
@@ -403,11 +414,24 @@ class DiffCSPDiffusion:
         beta, sigma = self.beta, self.sigma
         sigma_begin = c.sigma_begin
 
+        use_pallas = c.use_pallas_sampling and not c.ln
+
         def eval_net(time_emb, t_t, x_t, l_t):
             """Score-net forward in the sampling compute dtype; f32 outputs."""
-            preds = self.sample_net.apply(
-                params, time_emb, t_t, x_t, l_t, num_atoms, mask
-            )
+            if use_pallas:
+                from matinvent_tpu.models.cspnet_pallas import cspnet_forward_pallas
+
+                preds = cspnet_forward_pallas(
+                    params, time_emb, t_t, x_t, l_t, num_atoms, mask,
+                    num_layers=c.num_layers, num_freqs=c.num_freqs,
+                    dtype=jnp.dtype(c.sample_dtype),
+                    block_b=c.pallas_block_b,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                preds = self.sample_net.apply(
+                    params, time_emb, t_t, x_t, l_t, num_atoms, mask
+                )
             return jax.tree.map(lambda o: o.astype(jnp.float32), preds)
 
         def step(carry, t):

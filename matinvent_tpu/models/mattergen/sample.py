@@ -81,14 +81,16 @@ class MatterGenSampler:
             n[i] = len(zs)
         return types, n
 
-    def generate(
+    def launch(
         self,
         model: tuple[Any, Any],
         batch_size: int | None = None,
         num_batches: int | None = None,
         target_compositions_dict: list[dict[str, float]] | None = None,
         **kwargs,
-    ) -> Tuple[List[dict], List[Structure]]:
+    ) -> CrystalBatch:
+        """Dispatch generation on device; returns device futures (see
+        DiffCSPSampler.launch for the async-overlap contract)."""
         diffusion, params = model
         batch_size = batch_size or self.batch_size
         num_batches = num_batches or self.num_batches
@@ -126,4 +128,7 @@ class MatterGenSampler:
             final = final.replace(
                 atom_types=jnp.where(final.mask, fixed_types, 0).astype(jnp.int32)
             )
-        return batch_to_structures(final)
+        return final
+
+    def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:
+        return batch_to_structures(self.launch(model, **kwargs))

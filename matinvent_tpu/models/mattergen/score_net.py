@@ -106,6 +106,8 @@ class MatterGenScoreNet(nn.Module):
         )
 
         frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
+        edge_mask = mask[:, :, None] & mask[:, None, :]
+        denom = jnp.broadcast_to(num_atoms.astype(jnp.float32)[:, None], mask.shape)
 
         for i in range(self.num_layers):
             node = CSPLayer(
@@ -114,7 +116,7 @@ class MatterGenScoreNet(nn.Module):
                 ln=self.ln,
                 ip=True,
                 name=f"layer_{i}",
-            )(node, frac_diff, lattice, mask, num_atoms)
+            )(node, frac_diff, lattice, edge_mask, denom)
 
         if self.ln:
             node = nn.LayerNorm(name="final_norm")(node)

@@ -77,14 +77,20 @@ class DiffCSPSampler:
         self._rng = np.random.default_rng(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
 
-    def generate(
+    def launch(
         self,
         model: tuple[DiffCSPDiffusion, Any],
         batch_size: int | None = None,
         num_batches: int | None = None,
         sharding=None,
         **kwargs,
-    ) -> Tuple[List[dict], List[Structure]]:
+    ) -> CrystalBatch:
+        """Dispatch a generation batch on device and return immediately.
+
+        JAX dispatch is asynchronous: the returned ``CrystalBatch`` holds
+        device futures, so host work (reward scoring) overlaps the sampling
+        scan. Call :func:`batch_to_structures` to materialize.
+        """
         diffusion, params = model
         batch_size = batch_size or self.batch_size
         num_batches = num_batches or self.num_batches
@@ -105,7 +111,10 @@ class DiffCSPSampler:
         final, _ = diffusion.sample(
             params, sk, num_atoms_dev, max_atoms=self.max_atoms, step_lr=step_lr
         )
-        return batch_to_structures(final)
+        return final
+
+    def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:
+        return batch_to_structures(self.launch(model, **kwargs))
 
 
 def collate_data_list(data_list: List[dict], max_atoms: int) -> CrystalBatch:

@@ -45,6 +45,7 @@ class MatInvent(ReinL):
         resume: bool = False,
         profile_dir: str | None = None,
         profile_steps: int = 1,
+        async_sampling: bool = False,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -69,6 +70,14 @@ class MatInvent(ReinL):
 
         self.load_model()
         self.finetuner = self.model_suite.get_finetuner(**self.finetune_cfg)
+
+        # async host/device overlap (SURVEY.md §7 'Host-device overlap'): when
+        # enabled, the device starts sampling iteration t+1 (with the
+        # pre-finetune-t policy, one step stale) while the host filters and
+        # scores iteration t. The reference is fully serial
+        # (pipeline/mat_invent.py:191-271).
+        self.async_sampling = async_sampling
+        self._pending_batch = None
 
         # jax.profiler tracing of the first `profile_steps` RL iterations
         # (SURVEY.md §5: the reference has no tracing at all)
@@ -127,12 +136,31 @@ class MatInvent(ReinL):
         self._key, k = jax.random.split(self._key)
         return k
 
-    def sample_step(self):
-        sample_data, sample_struc = self.sampler.generate(
+    def _launch_sampling(self):
+        return self.sampler.launch(
             model=(self.diffusion, self.agent_params),
             batch_size=self.sample_cfg.get("batch_size"),
             num_batches=self.sample_cfg.get("num_batches"),
         )
+
+    def sample_step(self):
+        from matinvent_tpu.models.sample import batch_to_structures
+
+        if self.async_sampling:
+            device_batch = (
+                self._pending_batch
+                if self._pending_batch is not None
+                else self._launch_sampling()
+            )
+            # queue the next iteration's sampling before any host-side work
+            self._pending_batch = self._launch_sampling()
+            sample_data, sample_struc = batch_to_structures(device_batch)
+        else:
+            sample_data, sample_struc = self.sampler.generate(
+                model=(self.diffusion, self.agent_params),
+                batch_size=self.sample_cfg.get("batch_size"),
+                num_batches=self.sample_cfg.get("num_batches"),
+            )
         if self.sample_cfg.get("invalid_filter", True):
             sample_data, sample_struc = invalid_filter(sample_data, sample_struc)
         logging.info(f"Number of valid samples: {len(sample_struc)}")

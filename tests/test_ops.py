@@ -144,3 +144,62 @@ class TestSegment:
         mask = jnp.array([[True, True, False, False], [True] * 4])
         out = graph_mean(x, mask)
         np.testing.assert_allclose(out, jnp.ones((2, 8)))
+
+
+class TestNeighbors:
+    def test_min_image_distances_simple_cubic(self):
+        from matinvent_tpu.ops.neighbors import min_image_distances
+
+        lat = jnp.eye(3)[None] * 4.0
+        frac = jnp.array([[[0.0, 0, 0], [0.9, 0, 0]]])
+        d = min_image_distances(frac, lat)
+        # min image: 0.1 * 4 = 0.4 (not 0.9 * 4)
+        np.testing.assert_allclose(float(d[0, 0, 1]), 0.4, atol=1e-5)
+        # self term = shortest lattice translation = 4.0
+        np.testing.assert_allclose(float(d[0, 0, 0]), 4.0, atol=1e-5)
+
+    def test_radius_knn_mask(self):
+        from matinvent_tpu.ops.neighbors import radius_knn_mask
+
+        lat = jnp.eye(3)[None] * 10.0
+        frac = jnp.array([[[0.0, 0, 0], [0.05, 0, 0], [0.5, 0.5, 0.5], [0.0, 0, 0]]])
+        mask = jnp.array([[True, True, True, False]])
+        em = radius_knn_mask(frac, lat, mask, cutoff=2.0, max_neighbors=2)
+        em = np.asarray(em[0])
+        assert em[0, 1] and em[1, 0]       # 0.5 A apart
+        assert not em[0, 2]                # ~8 A, beyond cutoff
+        assert not em[:, 3].any() and not em[3].any()  # padded atom isolated
+
+    def test_knn_cspnet_forward(self):
+        from matinvent_tpu.models.cspnet import CSPNet
+
+        net = CSPNet(hidden_dim=16, latent_dim=8, num_layers=1, edge_style="knn",
+                     cutoff=5.0, max_neighbors=4)
+        B, A = 2, 5
+        key = jax.random.PRNGKey(0)
+        params = net.init(
+            key, jnp.zeros((B, 8)), jnp.zeros((B, A, 100)),
+            jax.random.uniform(key, (B, A, 3)), jnp.eye(3)[None].repeat(B, 0) * 4,
+            jnp.full((B,), A, jnp.int32), jnp.ones((B, A), bool),
+        )
+        l, x, t = net.apply(
+            params, jnp.zeros((B, 8)), jnp.zeros((B, A, 100)),
+            jax.random.uniform(key, (B, A, 3)), jnp.eye(3)[None].repeat(B, 0) * 4,
+            jnp.full((B,), A, jnp.int32), jnp.ones((B, A), bool),
+        )
+        assert np.isfinite(np.asarray(x)).all()
+
+
+class TestScaler:
+    def test_fit_transform_roundtrip(self):
+        from matinvent_tpu.utils.scaler import StandardScaler
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 3)) * 5 + 2
+        sc = StandardScaler().fit(x)
+        y = sc.transform(x)
+        np.testing.assert_allclose(np.asarray(y).mean(0), 0.0, atol=1e-5)
+        back = sc.inverse_transform(y)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+        sc2 = StandardScaler.from_state_dict(sc.state_dict())
+        np.testing.assert_allclose(np.asarray(sc2.means), np.asarray(sc.means))

@@ -141,3 +141,32 @@ class TestEndToEnd:
 
         df = pd.read_csv(run / "metrics.csv")
         assert "reward mean" in df.columns or "crystal_num" in df.columns
+
+
+@pytest.mark.slow
+class TestAsyncSampling:
+    def test_async_overlap_run(self, tmp_path):
+        """async_sampling=true: 2 iterations complete with overlapped batches."""
+        import main as cli
+
+        cwd = os.getcwd()
+        try:
+            cli.main(
+                [
+                    f"results_dir={tmp_path}", "expname=as", "rl_epoch=2",
+                    "eval_size=2", "seed=0", "reward=density", "logger=csv",
+                    "model.model_cfg.hidden_dim=32", "model.model_cfg.num_layers=2",
+                    "model.model_cfg.time_dim=16", "model.model_cfg.timesteps=10",
+                    "model.model_cfg.sample_clip=15.0",
+                    "model.sample_cfg.batch_size=6", "model.finetune_cfg.timesteps=10",
+                    "pipeline.finetune_cfg.accum_steps=5",
+                    "pipeline.finetune_cfg.epochs=1",
+                    "sample_cfg.filter=null", "sample_cfg.invalid_filter=false",
+                    "+pipeline.async_sampling=true",
+                ]
+            )
+        finally:
+            os.chdir(cwd)
+        samples = sorted(os.listdir(tmp_path / "as" / "samples"))
+        assert "step_0000_eval.extxyz" in samples
+        assert "step_0001_eval.extxyz" in samples
