@@ -296,6 +296,39 @@ class DiffCSPDiffusion:
         )(keys, t_indices)
         return jnp.mean(losses), jax.tree.map(jnp.sum, aux)
 
+    # ------------------------------------------------------------ pretraining
+    def training_loss(
+        self,
+        params,
+        batch: CrystalBatch,
+        key: jax.Array,
+    ) -> tuple[jax.Array, dict]:
+        """Standard diffusion pretraining loss at uniform random timesteps
+        (diffusion.py:457-486 training_step parity: scalar MSE over fields)."""
+        c = self.config
+        noised, targets, _ = self.add_noise(key, batch, t_index=None)
+        mask = batch.mask
+        pred_l, pred_x, pred_t = self.apply_net(params, noised, batch.num_atoms, mask)
+
+        loss_lattice = jnp.mean((pred_l - targets.rand_l) ** 2)
+        m3 = mask[..., None]
+        loss_coord = jnp.sum(((pred_x - targets.tar_x) ** 2) * m3) / jnp.maximum(
+            jnp.sum(m3) * 1.0, 1.0
+        )
+        mK = mask[..., None]
+        loss_type = jnp.sum(((pred_t - targets.rand_t) ** 2) * mK) / jnp.maximum(
+            jnp.sum(mK) * 1.0, 1.0
+        )
+        loss = (
+            c.cost_lattice * loss_lattice
+            + c.cost_coord * loss_coord
+            + c.cost_type * loss_type
+        )
+        return loss, dict(
+            loss=loss, loss_lattice=loss_lattice, loss_coord=loss_coord,
+            loss_type=loss_type,
+        )
+
     # -------------------------------------------------- DDPO policy gradients
     def forward_logprob(
         self,

@@ -51,15 +51,15 @@ class DiffCSPSuite(ModelSuite):
             **kwargs,
         )
         cfg_kwargs = dict(model_cfg or {})
-        cfg_kwargs.update(self.config_overrides)
-        # a checkpoint dir may carry its own model config
+        # a checkpoint dir carries its own model config, which is
+        # authoritative over config-file model defaults; only the explicit
+        # `config_overrides` channel applies on top of it
         if model_path is not None:
             cfg_file = Path(model_path) / "config.yaml"
             if cfg_file.exists():
                 with open(cfg_file) as fh:
-                    disk_cfg = yaml.safe_load(fh) or {}
-                disk_cfg.update(cfg_kwargs)
-                cfg_kwargs = disk_cfg
+                    cfg_kwargs = yaml.safe_load(fh) or {}
+        cfg_kwargs.update(self.config_overrides)
         valid = set(DiffCSPConfig.__dataclass_fields__)
         self.model_config = DiffCSPConfig(
             **{k: v for k, v in cfg_kwargs.items() if k in valid}

@@ -66,15 +66,15 @@ class MatterGenSuite(ModelSuite):
                 f"{sorted(AVA_MODEL_NAMES)}"
             )
         cfg_kwargs = dict(model_cfg or {})
-        cfg_kwargs.update(self.config_overrides)
-        cfg_kwargs.setdefault("condition_fields", AVA_MODEL_NAMES[model_name])
+        # checkpoint config is authoritative over config-file model defaults;
+        # only explicit `config_overrides` apply on top
         if model_path is not None:
             cfg_file = Path(model_path) / "config.yaml"
             if cfg_file.exists():
                 with open(cfg_file) as fh:
-                    disk = yaml.safe_load(fh) or {}
-                disk.update(cfg_kwargs)
-                cfg_kwargs = disk
+                    cfg_kwargs = yaml.safe_load(fh) or {}
+        cfg_kwargs.update(self.config_overrides)
+        cfg_kwargs.setdefault("condition_fields", AVA_MODEL_NAMES[model_name])
         if isinstance(cfg_kwargs.get("condition_fields"), list):
             cfg_kwargs["condition_fields"] = tuple(cfg_kwargs["condition_fields"])
         valid = set(MatterGenConfig.__dataclass_fields__)

@@ -42,13 +42,16 @@ def _kernel(
     frac = frac_ref[:].astype(jnp.float32)    # [Bb, A, 3]
     mask = mask_ref[:]                        # [Bb, A]
 
-    # Fourier edge features in f32: diff[b, i, j] = (x_j - x_i) mod 1
+    # Fourier edge features in f32: diff[b, i, j] = (x_j - x_i) mod 1.
+    # Built as a static per-axis concat (Mosaic cannot shape-cast the 5-D
+    # [Bb,A,A,3,F] intermediate); layout stays space-major like the reference.
     diff = (frac[:, None, :, :] - frac[:, :, None, :]) % 1.0  # [Bb, A, A, 3]
-    freqs = 2.0 * math.pi * jax.lax.broadcasted_iota(
-        jnp.float32, (1, 1, 1, 1, num_freqs), 4
-    )
-    ang = diff[..., None] * freqs             # [Bb, A, A, 3, F]
-    ang = ang.reshape(Bb, A, A, 3 * num_freqs)
+    freqs = (2.0 * math.pi) * jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, num_freqs), 3
+    ).astype(jnp.float32)
+    ang = jnp.concatenate(
+        [diff[..., s : s + 1] * freqs for s in range(3)], axis=-1
+    )  # [Bb, A, A, 3F]
     dist = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1).astype(dt)
 
     # decomposed first edge MLP

@@ -1,0 +1,82 @@
+"""Pretraining and predictor-training: losses must decrease on overfit sets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matinvent_tpu.chem.structure import Structure
+from matinvent_tpu.models.diffcsp import DiffCSPConfig, DiffCSPDiffusion
+from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
+from matinvent_tpu.parallel.train_predictor import PredictorTrainer, labeled_batches
+from matinvent_tpu.rewards.calculators.predictor import PropertyGNN
+
+
+def make_dataset(n=16, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(2, 7))
+        species = rng.integers(1, 60, k)
+        coords = rng.random((k, 3))
+        a = float(rng.uniform(3.5, 6.5))
+        out.append(Structure.from_parameters([a] * 3, [90] * 3, species, coords))
+    return out
+
+
+@pytest.mark.slow
+def test_pretrain_loss_decreases():
+    diff = DiffCSPDiffusion(
+        DiffCSPConfig(hidden_dim=32, num_layers=2, time_dim=16, timesteps=50)
+    )
+    params = diff.init_params(jax.random.PRNGKey(0))
+    data = make_dataset(8)
+    rng = np.random.default_rng(0)
+    batches = structures_to_batches(data, batch_size=8, max_atoms=8, rng=rng)
+    trainer = PretrainTrainer(diff, lr=3e-3)
+    params, history = trainer.train(
+        params, batches, num_steps=60, key=jax.random.PRNGKey(1), log_every=10
+    )
+    assert history[-1]["loss"] < 0.7 * history[0]["loss"]
+
+
+@pytest.mark.slow
+def test_predictor_learns_synthetic_target():
+    data = make_dataset(32, seed=1)
+    labels = np.array([s.density for s in data])  # learn density from structure
+    gnn = PropertyGNN("toy", hidden_dim=32, num_layers=2, max_atoms=8, seed=0)
+    trainer = PredictorTrainer(gnn, lr=3e-3)
+    rng = np.random.default_rng(0)
+    batches = labeled_batches(data, labels, batch_size=16, max_atoms=8, rng=rng)
+    params, history = trainer.train(
+        gnn.params, batches, num_steps=80, key=None, log_every=10
+    )
+    assert history[-1] < 0.5 * history[0]
+
+
+def test_suite_ckpt_config_authoritative(tmp_path):
+    """Loading a checkpoint dir must use the checkpoint's model config, with
+    only config_overrides applied on top (not config-file defaults)."""
+    import jax
+    from matinvent_tpu.models.suite.diffcsp import DiffCSPSuite
+
+    small = DiffCSPSuite(
+        model_cfg=dict(hidden_dim=32, num_layers=2, time_dim=16, timesteps=20)
+    )
+    _, params = small.load_model()
+    small.save_model(params, str(tmp_path / "ckpt"))
+
+    # defaults say 4 layers / hidden 128; ckpt must win
+    loaded = DiffCSPSuite(
+        model_cfg=dict(hidden_dim=128, num_layers=4),
+        model_path=str(tmp_path / "ckpt"),
+        config_overrides=dict(sample_clip=15.0),
+    )
+    assert loaded.model_config.num_layers == 2
+    assert loaded.model_config.hidden_dim == 32
+    assert loaded.model_config.sample_clip == 15.0
+    diffusion, params2 = loaded.load_model()
+    import numpy as np
+
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(params2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
