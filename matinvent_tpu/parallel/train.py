@@ -81,6 +81,10 @@ class FinetuneStep:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 p, ck, t_idx
             )
+            # NaN fault guard (reference skips NaN losses,
+            # diffusion.py:483-484): zero the update when loss is non-finite.
+            ok = jnp.isfinite(loss)
+            grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
             updates, o = self.optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return (p, o), (loss, aux)

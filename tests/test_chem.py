@@ -133,3 +133,42 @@ class TestMatcher:
         np.testing.assert_array_equal(mask, [True, False, True])
         novel = m.novel_mask([a, scaled], [a])
         np.testing.assert_array_equal(novel, [False, True])
+
+
+class TestNiggli:
+    def test_cubic_unchanged(self):
+        from matinvent_tpu.chem.niggli import niggli_reduce_matrix
+
+        lat = np.eye(3) * 4.0
+        red = niggli_reduce_matrix(lat)
+        np.testing.assert_allclose(np.abs(np.linalg.det(red)), 64.0, rtol=1e-8)
+        lens = np.sort(np.linalg.norm(red, axis=1))
+        np.testing.assert_allclose(lens, [4, 4, 4], rtol=1e-8)
+
+    def test_skewed_cell_reduces(self):
+        from matinvent_tpu.chem.niggli import niggli_reduce_matrix
+
+        # b = b' + 3a: highly skewed description of the same lattice
+        base = np.array([[3.0, 0, 0], [0, 4.0, 0], [0, 0, 5.0]])
+        skew = base.copy()
+        skew[1] = base[1] + 3 * base[0]
+        red = niggli_reduce_matrix(skew)
+        # volume preserved, vector lengths back to the compact description
+        np.testing.assert_allclose(abs(np.linalg.det(red)), 60.0, rtol=1e-8)
+        lens = np.sort(np.linalg.norm(red, axis=1))
+        np.testing.assert_allclose(lens, [3, 4, 5], rtol=1e-6)
+
+    def test_structure_reduction_preserves_crystal(self):
+        from matinvent_tpu.chem.niggli import niggli_reduce
+
+        base = np.array([[3.0, 0, 0], [0, 4.0, 0], [0, 0, 5.0]])
+        skew = base.copy()
+        skew[2] = base[2] + 2 * base[0] + base[1]
+        s = Structure(skew, [11, 17], np.array([[0, 0, 0], [0.5, 0.5, 0.5]]))
+        r = niggli_reduce(s)
+        # same composition, same volume, same minimum interatomic distance
+        assert r.composition.reduced_formula == "NaCl"
+        np.testing.assert_allclose(r.volume, s.volume, rtol=1e-8)
+        np.testing.assert_allclose(
+            r.min_interatomic_distance(), s.min_interatomic_distance(), rtol=1e-6
+        )
