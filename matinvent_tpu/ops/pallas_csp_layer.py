@@ -10,6 +10,14 @@ path stays on XLA for autodiff).
 
 Numerics: matmuls run on the MXU in the input dtype (use bf16 activations for
 peak throughput) with f32 accumulation; Fourier features are computed in f32.
+
+Measured on v5e (batch 64, A=20, H=128, bf16, via the axon remote-compile
+toolchain): the fused kernel is numerically consistent with XLA (mean coord
+drift 0.021 over 1000 PC steps) but ~5x slower at this operating point
+(31 vs 163 structures/sec) — XLA's own fusion already keeps these small
+edge tensors cache-resident and its GEMM tiling beats Mosaic's at A=20.
+The kernel therefore ships as an opt-in (``use_pallas_sampling``) for larger
+atom counts / hidden sizes where the [B,A,A,H] HBM traffic dominates.
 """
 from __future__ import annotations
 
