@@ -1,0 +1,140 @@
+"""End-to-end RL learning demonstration (BASELINE.md config 1 analogue).
+
+Pipeline: synthesize a plausible crystal dataset -> pretrain a small
+DiffCSP-class model -> RL-finetune toward maximum density with replay +
+diversity filter -> verify the reward curve climbs.
+
+    python experiments/rl_density_demo.py [out=experiments/results] [chip|cpu]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
+    """Plausible ionic-crystal-like dataset: binary/ternary compositions on
+    simple motifs with covalent-radius-derived cell sizes."""
+    from matinvent_tpu.chem.data import OXIDATION_STATES, SYMBOLS, Z_BY_SYMBOL
+    from matinvent_tpu.chem.relax import _COVALENT_RADII
+    from matinvent_tpu.chem.structure import Structure, save_extxyz
+
+    rng = np.random.default_rng(seed)
+    cations = [Z_BY_SYMBOL[s] for s, ox in OXIDATION_STATES.items()
+               if s in Z_BY_SYMBOL and Z_BY_SYMBOL[s] <= 83 and any(o > 0 for o in ox)]
+    anions = [Z_BY_SYMBOL[s] for s in ("O", "S", "Se", "F", "Cl", "Br", "N", "P")]
+
+    motifs = {
+        "rocksalt": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
+        "cscl": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
+        "fluorite": (
+            np.array([[0, 0, 0], [0.25, 0.25, 0.25], [0.75, 0.75, 0.75]]),
+            (1, 2),
+        ),
+        "layered": (
+            np.array([[0, 0, 0], [0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]]),
+            (2, 2),
+        ),
+    }
+    out = []
+    names = list(motifs)
+    for _ in range(n):
+        coords, (n_cat, n_an) = motifs[names[rng.integers(len(names))]]
+        cat = int(rng.choice(cations))
+        an = int(rng.choice(anions))
+        species = [cat] * n_cat + [an] * n_an
+        r = _COVALENT_RADII[cat] + _COVALENT_RADII[an]
+        a = float(r * rng.uniform(1.7, 2.3))
+        jitter = rng.normal(0, 0.01, coords.shape)
+        out.append(
+            Structure.from_parameters([a] * 3, [90] * 3, species, (coords + jitter) % 1.0)
+        )
+    save_extxyz(out, path)
+
+
+def main(argv: list[str]) -> None:
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    out_dir = os.path.abspath(kv.get("out", "experiments/results"))
+    os.makedirs(out_dir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    model_cfg = [
+        "model.model_cfg.hidden_dim=64",
+        "model.model_cfg.num_layers=3",
+        "model.model_cfg.time_dim=128",
+        "model.model_cfg.timesteps=100",
+    ]
+
+    data_path = os.path.join(out_dir, "dataset.extxyz")
+    make_dataset(data_path)
+    print(f"[demo] dataset: {data_path}")
+
+    # pretrain
+    ckpt_dir = os.path.join(out_dir, "pretrained")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "pretrain", os.path.join(repo, "tools", "pretrain.py")
+    )
+    pretrain = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pretrain)
+    pretrain.main(
+        [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=1500",
+         "batch_size=128", "max_atoms=8", "lr=2e-3"] + model_cfg
+    )
+    print(f"[demo] pretrained: {ckpt_dir}")
+
+    # RL finetune toward maximum density
+    import main as cli
+
+    cwd = os.getcwd()
+    try:
+        cli.main(
+            [
+                f"results_dir={out_dir}", "expname=rl_density", "seed=0",
+                "rl_epoch=30", "eval_size=16",
+                "reward=density", "logger=csv",
+                "reward.prop_cfg.0.target=ascending",
+                "reward.prop_cfg.0.minv=0.0", "reward.prop_cfg.0.maxv=8.0",
+                f"model.model_path={ckpt_dir}",
+                "+model.config_overrides.sample_clip=30.0",
+                "model.sample_cfg.batch_size=64",
+                "model.sample_cfg.max_atoms=8",
+                "model.finetune_cfg.timesteps=100",
+                "pipeline.finetune_cfg.accum_steps=50",
+                "pipeline.finetune_cfg.epochs=1",
+                "pipeline.save_freq=30",
+                "sample_cfg.filter=null",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+
+    # analyze
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "rl_density", "metrics.csv"))
+    col = "reward mean"
+    rewards = df[col].dropna().to_numpy()
+    first = float(np.mean(rewards[:5]))
+    last = float(np.mean(rewards[-5:]))
+    summary = dict(
+        iterations=len(rewards),
+        reward_first5_mean=round(first, 4),
+        reward_last5_mean=round(last, 4),
+        improvement=round(last - first, 4),
+        reward_curve=[round(float(r), 4) for r in rewards],
+    )
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print("[demo] " + json.dumps({k: v for k, v in summary.items() if k != "reward_curve"}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -202,6 +202,14 @@ class MatInvent(ReinL):
             return
         max_atoms = getattr(self.sampler, "max_atoms", 20)
         batch = collate_data_list(data_list, max_atoms=max_atoms)
+        # conditional models finetune under the same conditioning values used
+        # at sampling time (properties_to_condition_on broadcast per crystal)
+        props = getattr(self.sampler, "properties_to_condition_on", None)
+        conditions = (
+            {k: jnp.full((len(data_list),), float(v)) for k, v in props.items()}
+            if props
+            else None
+        )
         # NOTE: like the reference (mat_invent.py:155-157), raw reward is the
         # advantage; the computed `baseline` is intentionally unused.
         self.agent_params, epoch_metrics = self.finetuner.run(
@@ -210,6 +218,7 @@ class MatInvent(ReinL):
             batch,
             jnp.asarray(rewards, jnp.float32),
             self._next_key(),
+            conditions=conditions,
         )
         for e, m in enumerate(epoch_metrics):
             logging.info(

@@ -59,11 +59,9 @@ class MLIPBridge(Calculator):
              script, xyz_path, out_path, str(self.worker)]
 
         env = dict(os.environ)
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)
-            ))))
-        )
+        import matinvent_tpu
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(matinvent_tpu.__file__)))
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         subprocess.run(cmd, capture_output=True, env=env)
 

@@ -42,6 +42,8 @@ def _get_path(cfg: dict, path: str):
     for part in path.split("."):
         if isinstance(node, dict) and part in node:
             node = node[part]
+        elif isinstance(node, list) and part.lstrip("-").isdigit():
+            node = node[int(part)]
         else:
             raise KeyError(path)
     return node
@@ -51,8 +53,17 @@ def _set_path(cfg: dict, path: str, value: Any) -> None:
     parts = path.split(".")
     node = cfg
     for part in parts[:-1]:
-        node = node.setdefault(part, {})
-    node[parts[-1]] = value
+        if isinstance(node, list) and part.lstrip("-").isdigit():
+            node = node[int(part)]
+        elif isinstance(node, dict):
+            node = node.setdefault(part, {})
+        else:
+            raise KeyError(f"cannot descend into {type(node).__name__} at {part!r} ({path})")
+    last = parts[-1]
+    if isinstance(node, list) and last.lstrip("-").isdigit():
+        node[int(last)] = value
+    else:
+        node[last] = value
 
 
 def _safe_calc(expr: str) -> Any:

@@ -185,3 +185,26 @@ class TestMatterGenSampler:
         data, strucs = csp.generate((tiny_mg, params))
         formulas = {s.composition.reduced_formula for s in strucs}
         assert formulas == {"NaCl", "MgO"}
+
+
+class TestConditionalFinetune:
+    def test_finetune_with_conditions(self, tiny_mg, mg_params):
+        from matinvent_tpu.parallel.train import FinetuneStep
+
+        b = make_batch(jax.random.PRNGKey(11))
+        rewards = jnp.array([0.9, 0.5, 0.2])
+        conditions = {"dft_mag_density": jnp.full((3,), 0.15)}
+        ft = FinetuneStep(tiny_mg, lr=1e-4, timesteps=12, accum_steps=4, epochs=1)
+        new_params, metrics = ft.run(
+            mg_params, mg_params, b, rewards, jax.random.PRNGKey(0),
+            conditions=conditions,
+        )
+        assert np.isfinite(metrics[0]["loss"])
+        delta = sum(
+            float(jnp.abs(a - c).sum())
+            for a, c in zip(
+                jax.tree_util.tree_leaves(new_params),
+                jax.tree_util.tree_leaves(mg_params),
+            )
+        )
+        assert delta > 0

@@ -170,3 +170,13 @@ class TestAsyncSampling:
         samples = sorted(os.listdir(tmp_path / "as" / "samples"))
         assert "step_0000_eval.extxyz" in samples
         assert "step_0001_eval.extxyz" in samples
+
+
+def test_list_index_overrides():
+    cfg = load_config(
+        CONFIG_DIR, "base",
+        overrides=["reward=density", "reward.prop_cfg.0.target=ascending",
+                   "reward.prop_cfg.0.maxv=8.0"],
+    )
+    assert cfg["reward"]["prop_cfg"][0]["target"] == "ascending"
+    assert cfg["reward"]["prop_cfg"][0]["maxv"] == 8.0
