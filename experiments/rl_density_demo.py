@@ -64,8 +64,8 @@ def main(argv: list[str]) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     model_cfg = [
-        "model.model_cfg.hidden_dim=64",
-        "model.model_cfg.num_layers=3",
+        "model.model_cfg.hidden_dim=128",
+        "model.model_cfg.num_layers=4",
         "model.model_cfg.time_dim=128",
         "model.model_cfg.timesteps=100",
     ]
@@ -85,8 +85,8 @@ def main(argv: list[str]) -> None:
     pretrain = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pretrain)
     pretrain.main(
-        [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=1500",
-         "batch_size=128", "max_atoms=8", "lr=2e-3"] + model_cfg
+        [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
+         "batch_size=128", "max_atoms=8", "lr=1.5e-3"] + model_cfg
     )
     print(f"[demo] pretrained: {ckpt_dir}")
 
@@ -98,17 +98,20 @@ def main(argv: list[str]) -> None:
         cli.main(
             [
                 f"results_dir={out_dir}", "expname=rl_density", "seed=0",
-                "rl_epoch=30", "eval_size=16",
+                "rl_epoch=40", "eval_size=16",
                 "reward=density", "logger=csv",
-                "reward.prop_cfg.0.target=ascending",
-                "reward.prop_cfg.0.minv=0.0", "reward.prop_cfg.0.maxv=8.0",
+                # target density 4.5 g/cc: non-saturating signal in the
+                # reachable range of the pretraining distribution
+                "reward.prop_cfg.0.target=4.5",
+                "reward.prop_cfg.0.minv=0.0", "reward.prop_cfg.0.maxv=9.0",
                 f"model.model_path={ckpt_dir}",
                 "+model.config_overrides.sample_clip=30.0",
-                "model.sample_cfg.batch_size=64",
+                "model.sample_cfg.batch_size=128",
                 "model.sample_cfg.max_atoms=8",
                 "model.finetune_cfg.timesteps=100",
-                "pipeline.finetune_cfg.accum_steps=50",
-                "pipeline.finetune_cfg.epochs=1",
+                "pipeline.finetune_cfg.accum_steps=25",
+                "pipeline.finetune_cfg.epochs=3",
+                "model.finetune_cfg.lr=0.0001",
                 "pipeline.save_freq=30",
                 "sample_cfg.filter=null",
             ]

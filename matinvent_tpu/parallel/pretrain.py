@@ -58,13 +58,22 @@ class PretrainTrainer:
         lr: float = 1e-3,
         grad_clip: float = 0.5,
         weight_decay: float = 0.0,
+        total_steps: int | None = None,
+        warmup_steps: int = 200,
     ):
         self.diffusion = diffusion
+        if total_steps:
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, lr, min(warmup_steps, total_steps // 10 + 1),
+                total_steps, lr * 0.02,
+            )
+        else:
+            schedule = lr
         tx = [optax.clip_by_global_norm(grad_clip)]
         if weight_decay > 0:
-            tx.append(optax.adamw(lr, weight_decay=weight_decay))
+            tx.append(optax.adamw(schedule, weight_decay=weight_decay))
         else:
-            tx.append(optax.adam(lr))
+            tx.append(optax.adam(schedule))
         self.optimizer = optax.chain(*tx)
 
     @partial(jax.jit, static_argnames=("self",))

@@ -56,7 +56,7 @@ def main(argv: list[str]) -> None:
     rng = np.random.default_rng(seed)
     batches = structures_to_batches(structures, batch_size, max_atoms, rng)
 
-    trainer = PretrainTrainer(diffusion, lr=lr)
+    trainer = PretrainTrainer(diffusion, lr=lr, total_steps=steps)
     params, history = trainer.train(
         params, batches, steps, jax.random.PRNGKey(seed), log_every=max(steps // 50, 1)
     )
