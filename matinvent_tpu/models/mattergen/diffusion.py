@@ -244,6 +244,52 @@ class MatterGenDiffusion:
         )(keys, t_indices)
         return jnp.mean(losses), jax.tree.map(jnp.sum, aux)
 
+    # ------------------------------------------------------------ pretraining
+    def training_loss(
+        self,
+        params,
+        batch: CrystalBatch,
+        key: jax.Array,
+        conditions=None,
+        cond_dropout: float = 0.1,
+    ) -> tuple[jax.Array, dict]:
+        """Pretraining objective at uniform random t with classifier-free
+        condition dropout (the CFG null-token training signal)."""
+        k_noise, k_drop = jax.random.split(key)
+        noised, targets, _ = self.add_noise(k_noise, batch, t_index=None)
+        cond_mask = None
+        if conditions:
+            B = batch.batch_size
+            cond_mask = {
+                f: jax.random.uniform(jax.random.fold_in(k_drop, i), (B,))
+                >= cond_dropout
+                for i, f in enumerate(sorted(conditions))
+            }
+        c = self.config
+        preds = self.apply_net(
+            params, noised, batch.num_atoms, batch.mask, conditions, cond_mask
+        )
+        mask = batch.mask
+        loss_cell = jnp.mean((preds["cell"] - targets.eps_cell) ** 2, axis=(1, 2))
+        loss_pos = graph_mean(
+            jnp.mean((preds["pos"] - targets.score_pos) ** 2, axis=-1), mask
+        )
+        loss_types = self.d3pm.hybrid_loss(
+            targets.x0_types, noised.atom_types_t, preds["atomic_numbers"],
+            noised.t, mask, hybrid_lambda=c.d3pm_hybrid_lambda,
+        )
+        loss = jnp.mean(
+            c.weight_cell * loss_cell
+            + c.weight_pos * loss_pos
+            + c.weight_types * loss_types
+        )
+        return loss, dict(
+            loss=loss,
+            loss_cell=jnp.mean(loss_cell),
+            loss_pos=jnp.mean(loss_pos),
+            loss_types=jnp.mean(loss_types),
+        )
+
     # --------------------------------------------------------------- sampling
     def _guided_preds(self, params, noised, num_atoms, mask, conditions, guidance):
         """Classifier-free guidance: (1+g)*cond - g*uncond per field."""

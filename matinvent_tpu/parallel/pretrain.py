@@ -77,10 +77,14 @@ class PretrainTrainer:
         self.optimizer = optax.chain(*tx)
 
     @partial(jax.jit, static_argnames=("self",))
-    def step(self, params, opt_state, batch: CrystalBatch, key: jax.Array):
-        (loss, metrics), grads = jax.value_and_grad(
-            self.diffusion.training_loss, has_aux=True
-        )(params, batch, key)
+    def step(self, params, opt_state, batch: CrystalBatch, key: jax.Array,
+             conditions: Any = None):
+        def loss_fn(p):
+            if conditions is None:
+                return self.diffusion.training_loss(p, batch, key)
+            return self.diffusion.training_loss(p, batch, key, conditions=conditions)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -88,17 +92,23 @@ class PretrainTrainer:
     def train(
         self,
         params: Any,
-        batches: Iterator[CrystalBatch],
+        batches: Iterator,
         num_steps: int,
         key: jax.Array,
         log_every: int = 100,
     ):
+        """Batches may yield ``CrystalBatch`` or ``(CrystalBatch, conditions)``
+        tuples — the latter trains conditional models (CFG null tokens learn
+        through the dropout in training_loss)."""
         opt_state = self.optimizer.init(params)
         history = []
         for i in range(num_steps):
-            batch = next(batches)
+            item = next(batches)
+            batch, conditions = item if isinstance(item, tuple) else (item, None)
             key, sk = jax.random.split(key)
-            params, opt_state, metrics = self.step(params, opt_state, batch, sk)
+            params, opt_state, metrics = self.step(
+                params, opt_state, batch, sk, conditions
+            )
             if (i + 1) % log_every == 0 or i == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 history.append(m)
