@@ -38,43 +38,58 @@ class StructureMatcher:
         self.dtol = dtol
         self.k = k
 
-    def fit(self, s1: Structure, s2: Structure) -> bool:
-        if s1.composition.reduced_formula != s2.composition.reduced_formula:
+    def _features(self, s: Structure) -> tuple[str, float, np.ndarray]:
+        """(formula, volume/atom, fingerprint) — computed once per structure."""
+        return (
+            s.composition.reduced_formula,
+            s.volume / max(s.num_atoms, 1),
+            distance_fingerprint(s, self.k),
+        )
+
+    def _fit_features(self, a, b) -> bool:
+        f1a, v1, fp1 = a
+        f1b, v2, fp2 = b
+        if f1a != f1b:
             return False
-        v1 = s1.volume / max(s1.num_atoms, 1)
-        v2 = s2.volume / max(s2.num_atoms, 1)
         if abs(v1 - v2) / max(v1, v2, 1e-9) > self.vtol:
             return False
-        f1 = distance_fingerprint(s1, self.k)
-        f2 = distance_fingerprint(s2, self.k)
-        valid = (f1 < 1e5) & (f2 < 1e5)
+        valid = (fp1 < 1e5) & (fp2 < 1e5)
         if not valid.any():
             return True
-        return bool(np.max(np.abs(f1[valid] - f2[valid])) <= self.dtol)
+        return bool(np.max(np.abs(fp1[valid] - fp2[valid])) <= self.dtol)
+
+    def fit(self, s1: Structure, s2: Structure) -> bool:
+        return self._fit_features(self._features(s1), self._features(s2))
 
     def unique_mask(self, structures: list[Structure]) -> np.ndarray:
-        """True for the first occurrence of each distinct structure."""
+        """True for the first occurrence of each distinct structure.
+
+        Fingerprints are computed once per structure (the 27-image distance
+        matrix dominates; recomputing it per pairwise fit made 1000-structure
+        gen_eval runs take minutes)."""
+        feats = [self._features(s) for s in structures]
         mask = np.ones(len(structures), dtype=bool)
-        kept: list[Structure] = []
-        for i, s in enumerate(structures):
-            if any(self.fit(s, other) for other in kept):
+        kept: list = []
+        for i, f in enumerate(feats):
+            if any(self._fit_features(f, other) for other in kept):
                 mask[i] = False
             else:
-                kept.append(s)
+                kept.append(f)
         return mask
 
     def novel_mask(
         self, structures: list[Structure], reference: list[Structure]
     ) -> np.ndarray:
         """True where a structure matches nothing in the reference set."""
-        # bucket reference by reduced formula to avoid O(N*M) fits
-        by_formula: dict[str, list[Structure]] = {}
+        by_formula: dict[str, list] = {}
         for r in reference:
-            by_formula.setdefault(r.composition.reduced_formula, []).append(r)
+            f = self._features(r)
+            by_formula.setdefault(f[0], []).append(f)
         out = np.ones(len(structures), dtype=bool)
         for i, s in enumerate(structures):
-            for r in by_formula.get(s.composition.reduced_formula, []):
-                if self.fit(s, r):
+            f = self._features(s)
+            for rf in by_formula.get(f[0], []):
+                if self._fit_features(f, rf):
                     out[i] = False
                     break
         return out

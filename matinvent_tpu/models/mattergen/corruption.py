@@ -186,10 +186,12 @@ class TypeD3PM:
             # fact2 = q(x_{t-1} | x0) with model x0 distribution
             fact2 = abar_prev * x0_probs + (1.0 - abar_prev) * uniform
         else:
+            # absorbing: q(x_t=m | x_{t-1}=j) = (1-beta) d(j=m) + beta d(m=MASK)
+            # as a function of j: the beta term is CONSTANT in j when x_t is
+            # MASK (any state can absorb), zero otherwise.
             mask_oh = jax.nn.one_hot(self.vocab - 1, self.vocab, dtype=x0_logits.dtype)
-            fact1 = (1.0 - beta_t) * xt_oh + beta_t * jnp.sum(
-                xt_oh * mask_oh, -1, keepdims=True
-            ) * mask_oh + beta_t * (1.0 - jnp.sum(xt_oh * mask_oh, -1, keepdims=True)) * mask_oh
+            xt_is_mask = jnp.sum(xt_oh * mask_oh, -1, keepdims=True)  # [B,A,1]
+            fact1 = (1.0 - beta_t) * xt_oh + beta_t * xt_is_mask
             fact2 = abar_prev * x0_probs + (1.0 - abar_prev) * mask_oh
 
         out = jnp.log(jnp.maximum(fact1, 1e-20)) + jnp.log(jnp.maximum(fact2, 1e-20))

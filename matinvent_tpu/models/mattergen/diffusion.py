@@ -72,6 +72,9 @@ class MatterGenConfig:
     corrector_snr: float = struct.field(pytree_node=False, default=0.2)
     condition_fields: tuple = struct.field(pytree_node=False, default=())
     sample_clip: float | None = struct.field(pytree_node=False, default=None)
+    # compute dtype for score-net evals inside the sampling scan (bfloat16
+    # roughly doubles MXU throughput; scan state and update math stay f32)
+    sample_dtype: str = struct.field(pytree_node=False, default="float32")
 
 
 class MatterGenDiffusion:
@@ -91,6 +94,12 @@ class MatterGenDiffusion:
             num_freqs=c.num_freqs,
             condition_fields=tuple(c.condition_fields),
         )
+        # dtype-variant for the sampling scan (same params; activations cast)
+        self.sample_net = (
+            self.net.clone(dtype=jnp.dtype(c.sample_dtype))
+            if c.sample_dtype != "float32"
+            else self.net
+        )
 
     # ------------------------------------------------------------------ init
     def init_params(self, key, batch_size: int = 2, max_atoms: int = 8):
@@ -107,8 +116,8 @@ class MatterGenDiffusion:
         )
 
     def apply_net(self, params, noised: MGNoised, num_atoms, mask,
-                  conditions=None, cond_mask=None):
-        return self.net.apply(
+                  conditions=None, cond_mask=None, net=None):
+        return (net or self.net).apply(
             params,
             noised.time_emb,
             noised.atom_types_t,
@@ -292,14 +301,19 @@ class MatterGenDiffusion:
 
     # --------------------------------------------------------------- sampling
     def _guided_preds(self, params, noised, num_atoms, mask, conditions, guidance):
-        """Classifier-free guidance: (1+g)*cond - g*uncond per field."""
+        """Classifier-free guidance: (1+g)*cond - g*uncond per field.
+
+        Runs on the sampling-dtype net variant (bf16 when configured)."""
+        net = self.sample_net
         if conditions is None or guidance == 0.0:
-            return self.apply_net(params, noised, num_atoms, mask, conditions)
-        cond_preds = self.apply_net(params, noised, num_atoms, mask, conditions)
+            return self.apply_net(params, noised, num_atoms, mask, conditions, net=net)
+        cond_preds = self.apply_net(
+            params, noised, num_atoms, mask, conditions, net=net
+        )
         B = num_atoms.shape[0]
         null_mask = {f: jnp.zeros((B,), bool) for f in conditions}
         uncond_preds = self.apply_net(
-            params, noised, num_atoms, mask, conditions, cond_mask=null_mask
+            params, noised, num_atoms, mask, conditions, cond_mask=null_mask, net=net
         )
         return jax.tree.map(
             lambda c_, u: (1.0 + guidance) * c_ - guidance * u, cond_preds, uncond_preds
@@ -318,8 +332,14 @@ class MatterGenDiffusion:
         conditions: Mapping[str, jax.Array] | None = None,
         guidance: float = 0.0,
         record_traj: bool = False,
+        fixed_types: jax.Array | None = None,
     ):
-        """Predictor-corrector ancestral sampling over the N-step grid."""
+        """Predictor-corrector ancestral sampling over the N-step grid.
+
+        ``fixed_types``: optional [B, A] 1-based atomic numbers for crystal
+        structure prediction — atom types are held fixed through the whole
+        chain (reference CSP mode, models/mattergen/sample.py:160-177) and
+        only cell/coords diffuse."""
         c = self.config
         N = c.timesteps
         B = num_atoms.shape[0]
@@ -330,7 +350,10 @@ class MatterGenDiffusion:
         sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
         cell = self.cell_sde.prior_sample(k_cell, (B, 3, 3), num_atoms)
         pos = self.coord_ve.prior_sample(k_pos, (B, A, 3))
-        types = self.d3pm.prior_sample(k_type, (B, A))
+        if fixed_types is not None:
+            types = jnp.clip(fixed_types - 1, 0, self.d3pm.num_classes - 1)
+        else:
+            types = self.d3pm.prior_sample(k_type, (B, A))
 
         grid = self.time_grid()
         dt = 1.0 / N
@@ -407,12 +430,17 @@ class MatterGenDiffusion:
                 pos_t - p_step * score + nz * p_std * jax.random.normal(kp, pos_t.shape)
             ) % 1.0
 
-            # types: D3PM ancestral from the posterior
-            post_logits = self.d3pm.posterior_logits(
-                types_t, preds["atomic_numbers"], t_vec
-            )
-            types_next = jax.random.categorical(kt_, post_logits)
-            types_next = jnp.where(last, jnp.argmax(post_logits, axis=-1), types_next)
+            # types: D3PM ancestral from the posterior (held fixed in CSP mode)
+            if fixed_types is None:
+                post_logits = self.d3pm.posterior_logits(
+                    types_t, preds["atomic_numbers"], t_vec
+                )
+                types_next = jax.random.categorical(kt_, post_logits)
+                types_next = jnp.where(
+                    last, jnp.argmax(post_logits, axis=-1), types_next
+                )
+            else:
+                types_next = types_t
 
             ys = None
             if record_traj:

@@ -55,9 +55,8 @@ class MatterGenSampler:
     def _draw_num_atoms(self, total: int) -> np.ndarray:
         dist = np.asarray(NUM_ATOMS_DISTRIBUTIONS[self.num_atoms_distribution])
         dist = dist / dist.sum()
-        return np.maximum(
-            self._rng.choice(len(dist), size=total, p=dist).astype(np.int32), 1
-        )
+        draws = self._rng.choice(len(dist), size=total, p=dist).astype(np.int32)
+        return np.clip(draws, 1, self.max_atoms)
 
     def _composition_batch(self, total: int) -> tuple[np.ndarray, np.ndarray]:
         """CSP mode: fixed compositions cycled over the batch
@@ -122,12 +121,8 @@ class MatterGenSampler:
             conditions=conditions,
             guidance=float(self.diffusion_guidance_factor),
             record_traj=self.record_trajectories,
+            fixed_types=fixed_types,
         )
-        if fixed_types is not None:
-            # CSP mode keeps the requested composition
-            final = final.replace(
-                atom_types=jnp.where(final.mask, fixed_types, 0).astype(jnp.int32)
-            )
         return final
 
     def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:

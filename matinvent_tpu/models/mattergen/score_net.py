@@ -75,6 +75,7 @@ class MatterGenScoreNet(nn.Module):
     num_freqs: int = 10
     ln: bool = True
     condition_fields: tuple = ()
+    dtype: object = jnp.float32  # activation/compute dtype; params stay f32
 
     @nn.compact
     def __call__(
@@ -91,7 +92,9 @@ class MatterGenScoreNet(nn.Module):
         H = self.hidden_dim
         B = frac_coords.shape[0]
 
-        node = nn.Embed(self.type_vocab, H, name="type_embedding")(atom_types)
+        node = nn.Embed(
+            self.type_vocab, H, name="type_embedding", dtype=self.dtype
+        )(atom_types)
 
         cond = ConditionEmbedding(
             fields=tuple(self.condition_fields), dim=self.time_dim, name="cond_emb"
@@ -101,8 +104,8 @@ class MatterGenScoreNet(nn.Module):
         lat_per_atom = jnp.broadcast_to(
             latent[:, None, :], (B, node.shape[1], latent.shape[-1])
         )
-        node = nn.Dense(H, name="atom_latent_emb")(
-            jnp.concatenate([node, lat_per_atom], axis=-1)
+        node = nn.Dense(H, name="atom_latent_emb", dtype=self.dtype)(
+            jnp.concatenate([node, lat_per_atom.astype(node.dtype)], axis=-1)
         )
 
         frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
@@ -115,17 +118,20 @@ class MatterGenScoreNet(nn.Module):
                 num_freqs=self.num_freqs,
                 ln=self.ln,
                 ip=True,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(node, frac_diff, lattice, edge_mask, denom)
 
         if self.ln:
-            node = nn.LayerNorm(name="final_norm")(node)
+            node = nn.LayerNorm(name="final_norm", dtype=self.dtype)(node)
 
         # per-atom frac-coord score
-        pos_out = nn.Dense(3, use_bias=False, name="pos_out")(node)
+        pos_out = nn.Dense(3, use_bias=False, name="pos_out", dtype=self.dtype)(
+            node
+        ).astype(jnp.float32)
 
         # per-graph symmetric cell score, right-coupled to the current cell
-        graph = masked_mean(node, mask[..., None], axis=1)
+        graph = masked_mean(node.astype(jnp.float32), mask[..., None], axis=1)
         cell_raw = nn.Dense(9, use_bias=False, name="cell_out")(graph).reshape(-1, 3, 3)
         cell_sym = 0.5 * (cell_raw + jnp.swapaxes(cell_raw, -1, -2))
         cell_out = jnp.einsum(
@@ -133,6 +139,8 @@ class MatterGenScoreNet(nn.Module):
         )
 
         # per-atom x0-distribution logits for the D3PM chain
-        type_out = nn.Dense(self.type_vocab, name="type_out")(node)
+        type_out = nn.Dense(self.type_vocab, name="type_out", dtype=self.dtype)(
+            node
+        ).astype(jnp.float32)
 
         return {"cell": cell_out, "pos": pos_out, "atomic_numbers": type_out}

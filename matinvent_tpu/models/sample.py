@@ -102,7 +102,9 @@ class DiffCSPSampler:
             step_lr = DEFAULT_STEP_LR["gen"].get(self.num_atoms_distribution, 5e-6)
 
         num_atoms = sample_num_atoms(self._rng, total, self.num_atoms_distribution)
-        num_atoms = np.maximum(num_atoms, 1)
+        # distributions may exceed max_atoms (e.g. carbon_24 reaches 24):
+        # clip so mask/num_atoms metadata stay consistent
+        num_atoms = np.clip(num_atoms, 1, self.max_atoms)
         num_atoms_dev = jnp.asarray(num_atoms)
         if sharding is not None:
             num_atoms_dev = jax.device_put(num_atoms_dev, sharding)

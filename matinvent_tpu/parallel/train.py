@@ -82,12 +82,16 @@ class FinetuneStep:
                 p, ck, t_idx
             )
             # NaN fault guard (reference skips NaN losses,
-            # diffusion.py:483-484): zero the update when loss is non-finite.
+            # diffusion.py:483-484): keep params AND optimizer state when the
+            # loss is non-finite (a zeroed gradient would still move params
+            # through Adam momentum and advance its step count).
             ok = jnp.isfinite(loss)
-            grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-            updates, o = self.optimizer.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            return (p, o), (loss, aux)
+            updates, o_new = self.optimizer.update(grads, o, p)
+            p_new = optax.apply_updates(p, updates)
+            keep = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            return (keep(p_new, p), keep(o_new, o)), (loss, aux)
 
         (params, opt_state), (losses, auxes) = jax.lax.scan(
             chunk_step, (params, opt_state), jnp.arange(self.n_chunks)

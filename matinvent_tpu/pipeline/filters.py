@@ -124,6 +124,8 @@ class OptFilter:
         structure_matcher: Literal["ordered", "disordered"] = "disordered",
         num_workers: int | None = None,
         ehull_threshold: float = 0.1,
+        syn_calculator=None,
+        syn_threshold: float = 0.5,
         **kwargs,
     ) -> None:
         assert all(m in METRIC_LIST for m in metrics), f"metrics must be in {METRIC_LIST}"
@@ -135,17 +137,34 @@ class OptFilter:
         self.matcher = StructureMatcher()
         self.num_workers = num_workers
         self.ehull_threshold = ehull_threshold
+        # synthesizability screen (the reference lists the metric but leaves
+        # its branch as `pass`, opt_filter.py:193-194; here it is wired to a
+        # SynScore-style calculator when requested)
+        if "synthesizable" in metrics and syn_calculator is None:
+            from matinvent_tpu.rewards.calculators.syn_score import SynScore
 
-    def pre_filter_elements(self, data_list: list, structures: List[Structure]):
+            syn_calculator = SynScore(root_dir="rewards/syn_filter")
+        self.syn_calculator = syn_calculator
+        self.syn_threshold = syn_threshold
+
+    def pre_filter_elements(
+        self,
+        data_list: list,
+        structures: List[Structure],
+        energies: List[float] | None = None,
+    ):
         """Drop samples whose elements are unknown to the reference dataset
-        (opt_filter.py:121-150 parity). No-op when no reference is loaded."""
+        (opt_filter.py:121-150 parity). Filters the aligned ``energies`` list
+        too so downstream stability zips stay in sync. No-op without a
+        reference."""
         known = self.reference.known_elements
         if not known:
-            return data_list, structures
+            return data_list, structures, energies
         mask = [set(s.composition.elements) <= known for s in structures]
         return (
             [x for x, m in zip(data_list, mask) if m],
             [x for x, m in zip(structures, mask) if m],
+            None if energies is None else [e for e, m in zip(energies, mask) if m],
         )
 
     def compute_metrics(
@@ -179,6 +198,12 @@ class OptFilter:
         else:
             masks["stable"] = np.ones(n, dtype=bool)
 
+        if self.syn_calculator is not None:
+            scores = np.asarray(
+                self.syn_calculator.calc((structures, None), "opt_filter"), dtype=float
+            )
+            masks["synthesizable"] = np.nan_to_num(scores, nan=0.0) >= self.syn_threshold
+
         metric_values = {f"frac_{k}": float(v.mean()) for k, v in masks.items()}
         sun = masks["stable"] & masks["unique"] & masks["novel"]
         metric_values["frac_sun"] = float(sun.mean())
@@ -191,13 +216,18 @@ class OptFilter:
         energies: List[float] | None = None,
         **kwargs,
     ):
-        data_list, structures = self.pre_filter_elements(data_list, structures)
+        data_list, structures, energies = self.pre_filter_elements(
+            data_list, structures, energies
+        )
         if self.relax and self.relaxer is not None and energies is None:
             structures, energies = self.relaxer(structures)
         masks, metrics = self.compute_metrics(structures, energies)
         if not masks:
             return [], [], {}
-        mask_all = np.logical_and.reduce([masks[m] for m in self.metrics if m in masks])
+        selected = [masks[m] for m in self.metrics if m in masks]
+        if not selected:
+            return data_list, structures, metrics
+        mask_all = np.logical_and.reduce(selected)
         filtered_data = [x for x, m in zip(data_list, mask_all) if m]
         filtered_struc = [x for x, m in zip(structures, mask_all) if m]
         return filtered_data, filtered_struc, metrics
@@ -216,7 +246,9 @@ class OptEval(OptFilter):
         energies: List[float] | None = None,
         **kwargs,
     ):
-        structures = self.pre_filter_elements(structures, structures)[1]
+        _, structures, energies = self.pre_filter_elements(
+            structures, structures, energies
+        )
         if self.relax and self.relaxer is not None and energies is None:
             structures, energies = self.relaxer(structures)
         _, metrics = self.compute_metrics(structures, energies)

@@ -104,6 +104,9 @@ class MatInvent(ReinL):
         self._start_step = host["step"] + 1
         self.cost = host["cost"]
         self._key = jnp.asarray(host["key"])
+        if host.get("sampler"):
+            self.sampler._rng.bit_generator.state = host["sampler"]["rng"]
+            self.sampler._key = jnp.asarray(host["sampler"]["key"])
         if host.get("replay_buffer") is not None and self.replay is not None:
             self.replay.buffer = host["replay_buffer"]
         if host.get("ltm_memory") is not None:
@@ -123,6 +126,7 @@ class MatInvent(ReinL):
             self._key,
             replay_buffer=self.replay,
             ltm=self.ltm,
+            sampler=self.sampler,
         )
 
     def load_model(self):

@@ -28,16 +28,24 @@ def save_run_state(
     key: jax.Array,
     replay_buffer=None,
     ltm=None,
+    sampler=None,
 ) -> None:
     os.makedirs(state_dir, exist_ok=True)
     with open(os.path.join(state_dir, PARAMS_FILE), "wb") as fh:
         fh.write(serialization.to_bytes(jax.device_get(params)))
+    sampler_state = None
+    if sampler is not None:
+        sampler_state = {
+            "rng": sampler._rng.bit_generator.state,
+            "key": np.asarray(jax.device_get(sampler._key)),
+        }
     host_state = {
         "step": int(step),
         "cost": int(cost),
         "key": np.asarray(jax.device_get(key)),
         "replay_buffer": replay_buffer.buffer if replay_buffer is not None else None,
         "ltm_memory": ltm.memory if ltm is not None else None,
+        "sampler": sampler_state,
     }
     tmp = os.path.join(state_dir, STATE_FILE + ".tmp")
     with open(tmp, "wb") as fh:

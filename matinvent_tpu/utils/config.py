@@ -136,7 +136,14 @@ def resolve_interpolations(cfg: dict) -> dict:
     return current
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _parse_override_value(raw: str) -> Any:
+    # YAML 1.1 parses exponent-without-dot ('1e-4') as a string; treat it as
+    # a float like Hydra/OmegaConf do
+    if _SCI_FLOAT.match(raw.strip()):
+        return float(raw)
     try:
         return yaml.safe_load(raw)
     except yaml.YAMLError:

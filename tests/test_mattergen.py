@@ -208,3 +208,62 @@ class TestConditionalFinetune:
             )
         )
         assert delta > 0
+
+
+class TestD3PMAbsorbingPosterior:
+    def test_unmasking_posterior(self):
+        """With x_t=MASK the posterior must put mass on both x0 and MASK
+        (review-confirmed bug: the old fact1 pinned everything on MASK)."""
+        d = TypeD3PM.create(num_classes=4, num_steps=10, kind="absorbing")
+        MASK = d.vocab - 1
+        x_t = jnp.full((1, 1), MASK)
+        x0_logits = jnp.log(jax.nn.one_hot(jnp.array([[2]]), d.vocab) + 1e-20)
+        t = jnp.array([0.5])
+        probs = jax.nn.softmax(d.posterior_logits(x_t, x0_logits, t), axis=-1)[0, 0]
+        # analytic: p(j=2) ∝ beta*abar_prev ; p(MASK) ∝ 1*(1-abar_prev)
+        ti = int(d._t_index(t)[0])
+        beta = float(d.betas[ti])
+        abar_prev = float(d.abar[ti - 1])
+        expect_2 = beta * abar_prev
+        expect_mask = 1.0 - abar_prev
+        z = expect_2 + expect_mask
+        np.testing.assert_allclose(float(probs[2]), expect_2 / z, rtol=1e-5)
+        np.testing.assert_allclose(float(probs[MASK]), expect_mask / z, rtol=1e-5)
+        assert float(probs[0]) < 1e-6  # other classes excluded
+
+    def test_absorbing_sampling_unmasks(self):
+        """Absorbing-chain sampling must produce real atom types, not MASK."""
+        import dataclasses
+
+        cfg = MatterGenConfig(
+            hidden_dim=32, num_layers=2, time_dim=16, timesteps=12,
+            d3pm_kind="absorbing", sample_clip=100.0,
+        )
+        diff = MatterGenDiffusion(cfg)
+        params = jax.tree.map(
+            lambda x: x * 0.02,
+            diff.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=6),
+        )
+        final, _ = diff.sample(params, jax.random.PRNGKey(1), jnp.array([4, 6]), max_atoms=6)
+        at = np.asarray(final.atom_types)
+        mask = np.asarray(final.mask)
+        # real atoms end with valid atomic numbers (0 would mean stuck at MASK)
+        assert (at[mask] >= 1).all()
+
+
+class TestCSPModeConditioning:
+    def test_types_fixed_through_chain(self, tiny_mg, mg_params):
+        """fixed_types holds composition constant for the whole trajectory."""
+        params = jax.tree.map(lambda x: x * 0.02, mg_params)
+        fixed = jnp.array([[11, 17, 0, 0, 0, 0], [12, 8, 8, 0, 0, 0]])
+        final, traj = tiny_mg.sample(
+            params, jax.random.PRNGKey(2), jnp.array([2, 3]), max_atoms=6,
+            fixed_types=fixed, record_traj=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(final.atom_types) * np.asarray(final.mask),
+            np.asarray(fixed) * np.asarray(final.mask),
+        )
+        # types never changed during the scan
+        types_traj = np.asarray(traj["types"])
+        assert (types_traj == types_traj[0]).all()

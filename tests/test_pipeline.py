@@ -89,10 +89,12 @@ class TestFilters:
     def test_pre_filter_elements(self):
         ref = ReferenceDataset(structures=[make_struc([11, 17])])
         flt = OptFilter(metrics=["validity"], relax=False, reference=ref)
-        data, strucs = flt.pre_filter_elements(
-            ["a", "b"], [make_struc([11, 17]), make_struc([26, 8])]
+        data, strucs, energies = flt.pre_filter_elements(
+            ["a", "b"], [make_struc([11, 17]), make_struc([26, 8])],
+            energies=[-1.0, -2.0],
         )
         assert len(strucs) == 1  # Fe/O unknown to the reference set
+        assert energies == [-1.0]  # energies stay aligned with structures
 
 
 @pytest.mark.slow
