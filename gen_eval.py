@@ -31,6 +31,8 @@ def main(argv: list[str]) -> None:
     batch_size = int(kv.pop("batch_size", 32))
     num_batches = int(kv.pop("num_batches", 32))
     reference_path = kv.pop("reference_path", None)
+    if kv:
+        raise ValueError(f"unknown arguments: {sorted(kv)}")
 
     model_overrides = [a for a in argv if a.startswith("model")]
     cfg = load_config(CONFIG_DIR, "base", overrides=model_overrides)

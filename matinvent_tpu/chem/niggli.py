@@ -43,28 +43,22 @@ def niggli_reduce_matrix(lattice: np.ndarray, eps: float = 1e-5, max_iter: int =
             b_vec, c_vec = -b_vec, -c_vec
             continue
         A, B, C, xi, eta, zeta = params()
-        # steps 3/4: fix signs
-        pos = sum(1 for v in (xi, eta, zeta) if v > eps)
-        nonneg = sum(1 for v in (xi, eta, zeta) if v > -eps)
-        if pos == 3 or (pos == 1 and nonneg == 2):
-            # make all positive
-            sx = -1 if xi < -eps else 1
-            se = -1 if eta < -eps else 1
-            sz = -1 if zeta < -eps else 1
-            if sx * se * sz < 0:
-                pass
-            a_vec = a_vec if xi > -eps else a_vec
-            # apply sign flips: i = diag(s1,s2,s3) with det +1 making all >= 0
+        # steps 3/4 (Krivy-Gruber): make the angle cosines all positive when
+        # xi*eta*zeta > 0, all non-positive otherwise. The diag(s1,s2,s3)
+        # flips below have det +1 (each si is a parity of the other two
+        # components' signs).
+        strict_neg = sum(1 for v in (xi, eta, zeta) if v < -eps)
+        strict_pos = sum(1 for v in (xi, eta, zeta) if v > eps)
+        product_positive = strict_pos + strict_neg == 3 and strict_neg % 2 == 0
+        if product_positive:
             s1 = 1 if (eta > -eps) == (zeta > -eps) else -1
             s2 = 1 if (xi > -eps) == (zeta > -eps) else -1
             s3 = 1 if (xi > -eps) == (eta > -eps) else -1
-            a_vec, b_vec, c_vec = s1 * a_vec, s2 * b_vec, s3 * c_vec
         else:
-            # make all non-positive
             s1 = 1 if (eta < eps) == (zeta < eps) else -1
             s2 = 1 if (xi < eps) == (zeta < eps) else -1
             s3 = 1 if (xi < eps) == (eta < eps) else -1
-            a_vec, b_vec, c_vec = s1 * a_vec, s2 * b_vec, s3 * c_vec
+        a_vec, b_vec, c_vec = s1 * a_vec, s2 * b_vec, s3 * c_vec
 
         A, B, C, xi, eta, zeta = params()
         # step 5

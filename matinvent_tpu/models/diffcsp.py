@@ -335,7 +335,7 @@ class DiffCSPDiffusion:
         params,
         state: dict,
         mask: jax.Array,
-        step_lr: float = 1e-5,
+        step_lr: float = 5e-6,  # must match the step_lr used at sampling time
     ) -> tuple[jax.Array, jax.Array, jax.Array, tuple]:
         """Differentiable log-probs of a stored sampling transition.
 

@@ -43,6 +43,9 @@ class MatterGenSampler:
 
     record_trajectories: bool = False
     seed: int = 0
+    # last recorded trajectory (record_trajectories=True): stacked [T, ...]
+    # pytree consumed by DDPOFinetuneStep
+    last_trajectory: Any = None
 
     def __post_init__(self):
         assert self.num_atoms_distribution in NUM_ATOMS_DISTRIBUTIONS, (
@@ -123,6 +126,8 @@ class MatterGenSampler:
             record_traj=self.record_trajectories,
             fixed_types=fixed_types,
         )
+        if self.record_trajectories:
+            self.last_trajectory = traj
         return final
 
     def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:

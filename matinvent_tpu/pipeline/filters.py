@@ -195,8 +195,15 @@ class OptFilter:
                 structures, energies, self.reference.hull,
                 threshold=self.ehull_threshold,
             )
-        else:
-            masks["stable"] = np.ones(n, dtype=bool)
+        elif "stable" in self.metrics:
+            # never fabricate stability: without energies + a reference hull
+            # the metric is skipped (and excluded from the AND-filter) with a
+            # warning, instead of reporting frac_stable=1.0 for structures
+            # whose stability was never evaluated
+            logging.warning(
+                "'stable' metric requested but no energies/reference hull "
+                "available; skipping stability screen"
+            )
 
         if self.syn_calculator is not None:
             scores = np.asarray(
@@ -205,8 +212,9 @@ class OptFilter:
             masks["synthesizable"] = np.nan_to_num(scores, nan=0.0) >= self.syn_threshold
 
         metric_values = {f"frac_{k}": float(v.mean()) for k, v in masks.items()}
-        sun = masks["stable"] & masks["unique"] & masks["novel"]
-        metric_values["frac_sun"] = float(sun.mean())
+        if "stable" in masks:
+            sun = masks["stable"] & masks["unique"] & masks["novel"]
+            metric_values["frac_sun"] = float(sun.mean())
         return masks, metric_values
 
     def __call__(

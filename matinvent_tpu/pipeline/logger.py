@@ -71,8 +71,13 @@ class CSVLogger(Logger):
         super().__init__(config)
         self.save_dir = save_dir
         self.fname = fname
-        self.df: pd.DataFrame | None = None
         os.makedirs(save_dir, exist_ok=True)
+        # pick up existing history so a resumed run appends instead of
+        # truncating the pre-resume metric rows
+        existing = os.path.join(save_dir, f"{fname}.csv")
+        self.df: pd.DataFrame | None = (
+            pd.read_csv(existing) if os.path.exists(existing) else None
+        )
 
     def log(self, update_dict: dict, step: int, split: str = "") -> None:
         update_dict = dict(super().log(update_dict, step, split))

@@ -46,6 +46,7 @@ class MatInvent(ReinL):
         profile_dir: str | None = None,
         profile_steps: int = 1,
         async_sampling: bool = False,
+        state_save_freq: int = 1,
         **kwargs,
     ) -> None:
         super().__init__(
@@ -88,6 +89,7 @@ class MatInvent(ReinL):
         # full-state resume (beyond the reference, which restarts manually
         # from weight snapshots only — SURVEY.md §5 checkpoint/resume gap)
         self.resume = resume
+        self.state_save_freq = max(int(state_save_freq), 1)
         self.state_dir = os.path.join(save_dir, "state")
         self._start_step = 0
         if resume:
@@ -157,7 +159,12 @@ class MatInvent(ReinL):
                 else self._launch_sampling()
             )
             # queue the next iteration's sampling before any host-side work
-            self._pending_batch = self._launch_sampling()
+            # (unless this is the last iteration — that batch would be wasted)
+            self._pending_batch = (
+                self._launch_sampling()
+                if self.step + 1 < self.rl_epoch
+                else None
+            )
             sample_data, sample_struc = batch_to_structures(device_batch)
         else:
             sample_data, sample_struc = self.sampler.generate(
@@ -334,7 +341,10 @@ class MatInvent(ReinL):
                 jax.profiler.stop_trace()
                 self._profiling = False
                 logging.info(f"profiler trace written to {self.profile_dir}")
-            self._save_state()
+            # full-state snapshot every state_save_freq steps (LTM/replay
+            # pickling grows with run length) and always on the final step
+            if (step + 1) % self.state_save_freq == 0 or step + 1 == self.rl_epoch:
+                self._save_state()
             if (step + 1) % self.save_freq == 0:
                 ckpt_dir = os.path.join(self.models_dir, f"loop_{step:0>4d}")
                 self.model_suite.save_model(self.agent_params, ckpt_dir)

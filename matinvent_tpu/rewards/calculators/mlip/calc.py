@@ -63,8 +63,19 @@ class MLIPBridge(Calculator):
 
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(matinvent_tpu.__file__)))
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-        subprocess.run(cmd, capture_output=True, env=env)
-
-        assert os.path.isfile(out_path), f"MLIP worker produced no output at {out_path}"
+        # never accept a stale result file from a previous run with this label
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        if not os.path.isfile(out_path):
+            raise RuntimeError(
+                f"MLIP worker produced no output at {out_path} "
+                f"(exit {proc.returncode}): {proc.stderr[-500:]}"
+            )
         results = np.atleast_1d(np.genfromtxt(out_path))
+        if len(results) != len(samples[0]):
+            raise RuntimeError(
+                f"MLIP worker wrote {len(results)} results for "
+                f"{len(samples[0])} structures"
+            )
         return results

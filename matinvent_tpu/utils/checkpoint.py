@@ -31,8 +31,10 @@ def save_run_state(
     sampler=None,
 ) -> None:
     os.makedirs(state_dir, exist_ok=True)
-    with open(os.path.join(state_dir, PARAMS_FILE), "wb") as fh:
+    params_tmp = os.path.join(state_dir, PARAMS_FILE + ".tmp")
+    with open(params_tmp, "wb") as fh:
         fh.write(serialization.to_bytes(jax.device_get(params)))
+    os.replace(params_tmp, os.path.join(state_dir, PARAMS_FILE))
     sampler_state = None
     if sampler is not None:
         sampler_state = {

@@ -40,6 +40,8 @@ def main(argv: list[str]) -> None:
     lr = float(kv.pop("lr", 1e-3))
     max_atoms = int(kv.pop("max_atoms", 20))
     seed = int(kv.pop("seed", 0))
+    if kv:
+        raise ValueError(f"unknown arguments: {sorted(kv)}")
 
     model_overrides = [a for a in argv if a.startswith("model")]
     cfg = load_config(CONFIG_DIR, "base", overrides=["model=diffcsp"] + model_overrides)
