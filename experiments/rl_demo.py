@@ -11,7 +11,7 @@ Result on TPU v5e (archived in experiments/results/): reward mean
 compositions grew 10 -> 108 (composition steering without mode collapse).
 Total wall-clock ~9 min incl. 20k pretraining steps.
 
-    python experiments/rl_demo.py [out=experiments/results]
+    python experiments/rl_demo.py [out=experiments/results] [family=diffcsp|mattergen]
 """
 from __future__ import annotations
 
@@ -64,9 +64,33 @@ def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
     save_extxyz(out, path)
 
 
+def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000) -> None:
+    import jax
+    import numpy as np
+
+    from matinvent_tpu.chem.structure import read_extxyz
+    from matinvent_tpu.models.suite.mattergen import MatterGenSuite
+    from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
+
+    suite = MatterGenSuite(
+        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128, timesteps=100),
+        sample_cfg={"max_atoms": 8},
+    )
+    diffusion, params = suite.load_model()
+    structures = read_extxyz(data_path)
+    rng = np.random.default_rng(0)
+    batches = structures_to_batches(structures, 128, 8, rng)
+    trainer = PretrainTrainer(diffusion, lr=1.5e-3, total_steps=steps)
+    params, _ = trainer.train(
+        params, batches, steps, jax.random.PRNGKey(0), log_every=steps // 20
+    )
+    suite.save_model(params, ckpt_dir)
+
+
 def main(argv: list[str]) -> None:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
+    family = kv.get("family", "diffcsp")
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -83,18 +107,21 @@ def main(argv: list[str]) -> None:
 
     # pretrain
     ckpt_dir = os.path.join(out_dir, "pretrained")
-    sys.path.insert(0, os.path.join(repo, "tools"))
-    import importlib.util
+    if family == "mattergen":
+        pretrain_mattergen(data_path, ckpt_dir)
+    else:
+        sys.path.insert(0, os.path.join(repo, "tools"))
+        import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "pretrain", os.path.join(repo, "tools", "pretrain.py")
-    )
-    pretrain = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(pretrain)
-    pretrain.main(
-        [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
-         "batch_size=128", "max_atoms=8", "lr=1.5e-3"] + model_cfg
-    )
+        spec = importlib.util.spec_from_file_location(
+            "pretrain", os.path.join(repo, "tools", "pretrain.py")
+        )
+        pretrain = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pretrain)
+        pretrain.main(
+            [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
+             "batch_size=128", "max_atoms=8", "lr=1.5e-3"] + model_cfg
+        )
     print(f"[demo] pretrained: {ckpt_dir}")
 
     # RL finetune toward maximum density
@@ -110,6 +137,7 @@ def main(argv: list[str]) -> None:
                 # experiment — steers composition toward low-risk elements
                 # while the KL anchor keeps geometry on the data manifold
                 "reward=hhi", "logger=csv",
+                f"model={family if family == 'mattergen' else 'diffcsp'}",
                 f"model.model_path={ckpt_dir}",
                 "+model.config_overrides.sample_clip=30.0",
                 "model.sample_cfg.batch_size=128",
