@@ -182,3 +182,38 @@ def test_list_index_overrides():
     )
     assert cfg["reward"]["prop_cfg"][0]["target"] == "ascending"
     assert cfg["reward"]["prop_cfg"][0]["maxv"] == 8.0
+
+
+@pytest.mark.slow
+def test_baseline_pipeline_e2e(tmp_path):
+    """pipeline=baseline: sampling + scoring only, honors global rl_epoch."""
+    import main as cli
+
+    cwd = os.getcwd()
+    try:
+        cli.main(
+            [
+                f"results_dir={tmp_path}", "expname=bl", "pipeline=baseline",
+                "rl_epoch=2", "eval_size=2", "seed=0", "reward=density",
+                "logger=csv",
+                "model.model_cfg.hidden_dim=32", "model.model_cfg.num_layers=2",
+                "model.model_cfg.time_dim=16", "model.model_cfg.timesteps=10",
+                "model.model_cfg.sample_clip=15.0",
+                "model.sample_cfg.batch_size=4",
+                "pipeline.sample_cfg.batch_size=4",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "bl" / "metrics.csv")
+    assert len(df) == 2  # rl_epoch honored (was hardcoded 200 before the fix)
+    assert not (tmp_path / "bl" / "models" / "final").exists()  # no finetune
+
+
+def test_wandb_logger_clear_error_without_wandb():
+    from matinvent_tpu.pipeline.logger import WandBLogger
+
+    with pytest.raises(ImportError, match="wandb is not installed"):
+        WandBLogger(name="x", project="y")
