@@ -64,7 +64,8 @@ def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
     save_extxyz(out, path)
 
 
-def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000) -> None:
+def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
+                       timesteps: int = 100) -> None:
     import jax
     import numpy as np
 
@@ -73,7 +74,8 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000) -> Non
     from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
 
     suite = MatterGenSuite(
-        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128, timesteps=100),
+        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128,
+                       timesteps=timesteps),
         sample_cfg={"max_atoms": 8},
     )
     diffusion, params = suite.load_model()
@@ -91,6 +93,12 @@ def main(argv: list[str]) -> None:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
     family = kv.get("family", "diffcsp")
+    iters = int(kv.get("iters", 40))
+    timesteps = int(kv.get("timesteps", 100))
+    epochs = int(kv.get("epochs", 3))
+    accum = int(kv.get("accum", 25))
+    sigma = float(kv.get("sigma", 0.1))
+    batch = int(kv.get("batch", 128))
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -98,7 +106,7 @@ def main(argv: list[str]) -> None:
         "model.model_cfg.hidden_dim=128",
         "model.model_cfg.num_layers=4",
         "model.model_cfg.time_dim=128",
-        "model.model_cfg.timesteps=100",
+        f"model.model_cfg.timesteps={timesteps}",
     ]
 
     data_path = os.path.join(out_dir, "dataset.extxyz")
@@ -108,7 +116,7 @@ def main(argv: list[str]) -> None:
     # pretrain
     ckpt_dir = os.path.join(out_dir, "pretrained")
     if family == "mattergen":
-        pretrain_mattergen(data_path, ckpt_dir)
+        pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
     else:
         sys.path.insert(0, os.path.join(repo, "tools"))
         import importlib.util
@@ -132,7 +140,7 @@ def main(argv: list[str]) -> None:
         cli.main(
             [
                 f"results_dir={out_dir}", "expname=rl_hhi", "seed=0",
-                "rl_epoch=40", "eval_size=16",
+                f"rl_epoch={iters}", "eval_size=16",
                 # HHI supply-risk minimization: the reference's headline
                 # experiment — steers composition toward low-risk elements
                 # while the KL anchor keeps geometry on the data manifold
@@ -140,14 +148,14 @@ def main(argv: list[str]) -> None:
                 f"model={family if family == 'mattergen' else 'diffcsp'}",
                 f"model.model_path={ckpt_dir}",
                 "+model.config_overrides.sample_clip=30.0",
-                "model.sample_cfg.batch_size=128",
+                f"model.sample_cfg.batch_size={batch}",
                 "model.sample_cfg.max_atoms=8",
-                "model.finetune_cfg.timesteps=100",
-                "pipeline.finetune_cfg.accum_steps=25",
-                "pipeline.finetune_cfg.epochs=3",
-                "pipeline.finetune_cfg.sigma=0.1",
+                f"model.finetune_cfg.timesteps={timesteps}",
+                f"pipeline.finetune_cfg.accum_steps={accum}",
+                f"pipeline.finetune_cfg.epochs={epochs}",
+                f"pipeline.finetune_cfg.sigma={sigma}",
                 "model.finetune_cfg.lr=0.0001",
-                "pipeline.save_freq=30",
+                f"pipeline.save_freq={iters}",
                 "sample_cfg.filter=null",
             ]
         )

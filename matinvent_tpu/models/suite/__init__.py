@@ -1,4 +1,5 @@
 from matinvent_tpu.models.suite.base import ModelSuite
 from matinvent_tpu.models.suite.diffcsp import DiffCSPSuite
+from matinvent_tpu.models.suite.mattergen import MatterGenSuite
 
-__all__ = ["ModelSuite", "DiffCSPSuite"]
+__all__ = ["ModelSuite", "DiffCSPSuite", "MatterGenSuite"]

@@ -1,4 +1,6 @@
 from matinvent_tpu.rewards.calculators.base import Calculator
 from matinvent_tpu.rewards.calculators.empirical import Empirical
+from matinvent_tpu.rewards.calculators.predictor import PropertyPredictor
+from matinvent_tpu.rewards.calculators.syn_score import SynScore
 
-__all__ = ["Calculator", "Empirical"]
+__all__ = ["Calculator", "Empirical", "PropertyPredictor", "SynScore"]
