@@ -42,6 +42,9 @@ class MatterGenSampler:
     properties_to_condition_on: Dict[str, float] | None = None
 
     record_trajectories: bool = False
+    # post-process outputs to Niggli-reduced cells (reference legacy option,
+    # models/mattergen/sample.py:143)
+    niggli_reduction: bool = False
     seed: int = 0
     # last recorded trajectory (record_trajectories=True): stacked [T, ...]
     # pytree consumed by DDPOFinetuneStep
@@ -131,4 +134,9 @@ class MatterGenSampler:
         return final
 
     def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:
-        return batch_to_structures(self.launch(model, **kwargs))
+        data, strucs = batch_to_structures(self.launch(model, **kwargs))
+        if self.niggli_reduction:
+            from matinvent_tpu.chem.niggli import niggli_reduce
+
+            strucs = [niggli_reduce(s) for s in strucs]
+        return data, strucs

@@ -267,3 +267,13 @@ class TestCSPModeConditioning:
         # types never changed during the scan
         types_traj = np.asarray(traj["types"])
         assert (types_traj == types_traj[0]).all()
+
+
+def test_sampler_niggli_reduction(tiny_mg, mg_params):
+    params = jax.tree.map(lambda x: x * 0.02, mg_params)
+    sampler = MatterGenSampler(
+        batch_size=2, num_batches=1, max_atoms=6, seed=0, niggli_reduction=True
+    )
+    data, strucs = sampler.generate((tiny_mg, params))
+    for s in strucs:
+        assert np.isfinite(s.lattice).all()
