@@ -27,7 +27,7 @@ import numpy as np
 def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
     """Plausible ionic-crystal-like dataset: binary/ternary compositions on
     simple motifs with covalent-radius-derived cell sizes."""
-    from matinvent_tpu.chem.data import OXIDATION_STATES, SYMBOLS, Z_BY_SYMBOL
+    from matinvent_tpu.chem.data import OXIDATION_STATES, Z_BY_SYMBOL
     from matinvent_tpu.chem.relax import _COVALENT_RADII
     from matinvent_tpu.chem.structure import Structure, save_extxyz
 

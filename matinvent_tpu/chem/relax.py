@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from matinvent_tpu.chem.structure import Structure
+from matinvent_tpu.chem.structure import OFFSETS_27, Structure
 from matinvent_tpu.models.batch import CrystalBatch
 
 # Covalent radii (Angstrom, Cordero 2008-style, public data); index = Z.
@@ -40,10 +40,6 @@ _COVALENT_RADII = np.array(
     dtype=np.float32,
 )
 
-_OFFSETS = np.array(
-    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
-    dtype=np.float32,
-)
 
 
 def _pair_energy(batch: CrystalBatch, radii: jax.Array) -> jax.Array:
@@ -54,7 +50,7 @@ def _pair_energy(batch: CrystalBatch, radii: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
     )
     offsets = jnp.einsum(
-        "oi,bij->boj", jnp.asarray(_OFFSETS), batch.lattice,
+        "oi,bij->boj", jnp.asarray(OFFSETS_27, jnp.float32), batch.lattice,
         precision=jax.lax.Precision.HIGHEST,
     )  # [B, 27, 3]
     diff = cart[:, :, None, :] - cart[:, None, :, :]  # [B, A, A, 3]

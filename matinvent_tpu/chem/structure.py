@@ -8,7 +8,7 @@ calculators consume (/root/reference/pipeline/utils/save.py:32-41).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import numpy as np
@@ -18,8 +18,10 @@ from matinvent_tpu.chem.data import ATOMIC_WEIGHTS, SYMBOLS, Z_BY_SYMBOL
 
 AVOGADRO = 6.02214076e23
 
-# 27 neighbor-cell offsets for minimum-image distances.
-_OFFSETS = np.array(
+# 27 neighbor-cell offsets for minimum-image distances (shared host-side
+# constant; the device twin lives in ops/neighbors.py, which must not import
+# the chem layer).
+OFFSETS_27 = np.array(
     [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
     dtype=np.float64,
 )
@@ -109,7 +111,7 @@ class Structure:
     def distance_matrix(self) -> np.ndarray:
         """[N, N] minimum-image pairwise distances (27-offset search)."""
         cart = self.cart_coords
-        offsets = _OFFSETS @ self.lattice  # [27, 3]
+        offsets = OFFSETS_27 @ self.lattice  # [27, 3]
         diff = cart[None, :, :] - cart[:, None, :]  # [N, N, 3]
         d = diff[:, :, None, :] + offsets[None, None, :, :]  # [N, N, 27, 3]
         dists = np.linalg.norm(d, axis=-1)
@@ -124,7 +126,7 @@ class Structure:
         else:
             off_diag = np.inf
         # self-image distances: shortest nonzero lattice translation
-        offsets = _OFFSETS @ self.lattice
+        offsets = OFFSETS_27 @ self.lattice
         self_img = np.linalg.norm(offsets, axis=1)
         self_img = self_img[self_img > 1e-8].min()
         return float(min(off_diag, self_img))

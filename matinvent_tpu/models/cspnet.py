@@ -19,8 +19,6 @@ Capability parity with /root/reference/models/diffcsp/cspnet.py:94-294
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,8 +8,6 @@ the autodiff/training path. Supports the DiffCSP diffusion configuration
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

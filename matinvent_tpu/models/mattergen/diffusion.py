@@ -20,7 +20,7 @@ wrapped-normal on fractional coords, D3PM chain on atom types.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Mapping, NamedTuple
+from typing import Mapping, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ is consciously fixed here by concatenating all batches.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Tuple
 
 import jax

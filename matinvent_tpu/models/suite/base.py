@@ -29,6 +29,22 @@ class ModelSuite:
         self.seed = seed
         self.cfg = dict(kwargs)
 
+    def resolve_model_config(self, model_cfg: dict | None) -> dict:
+        """Model-config precedence shared by all suites: a checkpoint dir's
+        config.yaml is authoritative over config-file defaults; only the
+        explicit ``config_overrides`` channel applies on top."""
+        import yaml
+        from pathlib import Path
+
+        cfg = dict(model_cfg or {})
+        if self.model_path is not None:
+            cfg_file = Path(self.model_path) / "config.yaml"
+            if cfg_file.exists():
+                with open(cfg_file) as fh:
+                    cfg = yaml.safe_load(fh) or {}
+        cfg.update(self.config_overrides)
+        return cfg
+
     def load_model(self) -> tuple[Any, Any]:
         raise NotImplementedError
 

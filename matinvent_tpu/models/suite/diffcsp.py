@@ -8,7 +8,6 @@ environment has no HF hub access; the reference downloads from
 """
 from __future__ import annotations
 
-import json
 import os
 from pathlib import Path
 from typing import Any
@@ -50,16 +49,7 @@ class DiffCSPSuite(ModelSuite):
             seed=seed,
             **kwargs,
         )
-        cfg_kwargs = dict(model_cfg or {})
-        # a checkpoint dir carries its own model config, which is
-        # authoritative over config-file model defaults; only the explicit
-        # `config_overrides` channel applies on top of it
-        if model_path is not None:
-            cfg_file = Path(model_path) / "config.yaml"
-            if cfg_file.exists():
-                with open(cfg_file) as fh:
-                    cfg_kwargs = yaml.safe_load(fh) or {}
-        cfg_kwargs.update(self.config_overrides)
+        cfg_kwargs = self.resolve_model_config(model_cfg)
         valid = set(DiffCSPConfig.__dataclass_fields__)
         self.model_config = DiffCSPConfig(
             **{k: v for k, v in cfg_kwargs.items() if k in valid}

@@ -12,7 +12,6 @@ sigmas[0]=0, sigmas_norm[0]=1).
 from __future__ import annotations
 
 import math
-from dataclasses import field
 
 import jax
 import jax.numpy as jnp

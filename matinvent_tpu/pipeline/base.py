@@ -8,9 +8,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, List
-
-import numpy as np
+from typing import Dict, List
 
 from matinvent_tpu.chem.structure import Structure
 from matinvent_tpu.memory.ltm import LongTimeMem

@@ -7,11 +7,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
-from typing import Dict
-
-import jax
-import numpy as np
 
 from matinvent_tpu.pipeline.base import ReinL
 from matinvent_tpu.pipeline.filters import invalid_filter

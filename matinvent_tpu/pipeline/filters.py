@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import logging
 import multiprocessing as mp
-from typing import Any, Callable, List, Literal, Sequence
+from typing import Callable, List, Literal, Sequence
 
 import numpy as np
 

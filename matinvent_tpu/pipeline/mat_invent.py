@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from matinvent_tpu.models.sample import collate_data_list
+from matinvent_tpu.models.sample import batch_to_structures, collate_data_list
 from matinvent_tpu.pipeline.base import ReinL
 from matinvent_tpu.pipeline.filters import invalid_filter
 from matinvent_tpu.pipeline.logger import Logger
@@ -150,8 +150,6 @@ class MatInvent(ReinL):
         )
 
     def sample_step(self):
-        from matinvent_tpu.models.sample import batch_to_structures
-
         if self.async_sampling:
             device_batch = (
                 self._pending_batch

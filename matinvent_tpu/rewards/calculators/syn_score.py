@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 from typing import List, Tuple
 
 import jax

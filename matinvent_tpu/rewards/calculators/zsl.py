@@ -13,8 +13,6 @@ core coincident-site-lattice search on the (001) surface cells:
 from __future__ import annotations
 
 import math
-from functools import lru_cache
-
 import numpy as np
 
 

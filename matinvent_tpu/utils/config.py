@@ -16,7 +16,6 @@ framework ships a small engine with the same surface:
 from __future__ import annotations
 
 import ast
-import copy
 import importlib
 import os
 import re

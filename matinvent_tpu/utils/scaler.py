@@ -6,7 +6,6 @@ lattice/property scalers (models/suite/diffcsp.py:98-105).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
