@@ -43,12 +43,21 @@ def main(argv: list[str]) -> None:
     sampler = suite.get_sampler()
 
     logging.info(f"generating {batch_size * num_batches} structures ...")
+    from matinvent_tpu.models.sample import batch_to_structures
+
     t0 = time.perf_counter()
     all_data, all_strucs = [], []
-    for _ in range(num_batches):
-        data, strucs = sampler.generate(
-            model=(diffusion, params), batch_size=batch_size, num_batches=1
-        )
+    # pipelined: device samples batch i+1 while the host converts batch i
+    pending = sampler.launch(
+        model=(diffusion, params), batch_size=batch_size, num_batches=1
+    )
+    for i in range(num_batches):
+        current = pending
+        if i + 1 < num_batches:
+            pending = sampler.launch(
+                model=(diffusion, params), batch_size=batch_size, num_batches=1
+            )
+        data, strucs = batch_to_structures(current)
         all_data.extend(data)
         all_strucs.extend(strucs)
     gen_time = time.perf_counter() - t0
