@@ -22,7 +22,37 @@ from matinvent_tpu.chem.data import (
     Z_BY_SYMBOL,
 )
 
-_FORMULA_TOKEN = re.compile(r"([A-Z][a-z]?)(\d*)")
+_FORMULA_TOKEN = re.compile(r"([A-Z][a-z]?|\(|\))(\d*\.?\d*)")
+
+
+def _parse_formula(formula: str) -> Counter:
+    """Parse a chemical formula incl. parenthesized groups and fractional
+    counts, e.g. 'Ca(OH)2' -> {Ca:1, O:2, H:2}, 'Li0.5CoO2' -> {Li:0.5, ...}."""
+    tokens = [(t, n) for t, n in _FORMULA_TOKEN.findall(formula) if t]
+    if "".join(t + n for t, n in tokens) != formula.replace(" ", ""):
+        raise ValueError(f"cannot parse formula: {formula!r}")
+
+    def count(n: str) -> float:
+        return float(n) if n else 1.0
+
+    stack: list[Counter] = [Counter()]
+    for tok, n in tokens:
+        if tok == "(":
+            if n:
+                raise ValueError(f"cannot parse formula: {formula!r}")
+            stack.append(Counter())
+        elif tok == ")":
+            if len(stack) < 2:
+                raise ValueError(f"unbalanced parentheses in formula: {formula!r}")
+            group = stack.pop()
+            mult = count(n)
+            for sym, c in group.items():
+                stack[-1][sym] += c * mult
+        else:
+            stack[-1][tok] += count(n)
+    if len(stack) != 1:
+        raise ValueError(f"unbalanced parentheses in formula: {formula!r}")
+    return stack[0]
 
 
 class Composition:
@@ -30,11 +60,7 @@ class Composition:
 
     def __init__(self, counts: Mapping[str, float] | Iterable[int] | str):
         if isinstance(counts, str):
-            parsed: Counter = Counter()
-            for sym, n in _FORMULA_TOKEN.findall(counts):
-                if sym:
-                    parsed[sym] += int(n) if n else 1
-            items = parsed
+            items = {k: v for k, v in _parse_formula(counts).items() if v > 0}
         elif isinstance(counts, Mapping):
             items = {k: v for k, v in counts.items() if v > 0}
         else:  # iterable of atomic numbers

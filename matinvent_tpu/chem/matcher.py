@@ -21,12 +21,17 @@ import numpy as np
 from matinvent_tpu.chem.structure import Structure
 
 
-def distance_fingerprint(s: Structure, k: int = 32) -> np.ndarray:
-    """Sorted k smallest off-diagonal minimum-image distances."""
+def distance_fingerprint(s: Structure, k: int = 32, tol: float = 0.05) -> np.ndarray:
+    """Sorted k smallest DISTINCT off-diagonal minimum-image distances.
+
+    Distances are deduplicated within ``tol`` so multiplicity does not enter
+    the fingerprint — an exact supercell then shares its primitive cell's
+    spectrum (same distances, higher multiplicity) and matches it."""
     n = s.num_atoms
     dm = s.distance_matrix()
     vals = dm[np.triu_indices(n, k=1)] if n > 1 else np.array([])
-    vals = np.sort(vals)[:k]
+    vals = np.unique(np.round(np.sort(vals) / tol)) * tol
+    vals = vals[:k]
     out = np.full(k, 1e6)
     out[: len(vals)] = vals
     return out
@@ -61,13 +66,16 @@ class StructureMatcher:
     def fit(self, s1: Structure, s2: Structure) -> bool:
         return self._fit_features(self._features(s1), self._features(s2))
 
-    def unique_mask(self, structures: list[Structure]) -> np.ndarray:
-        """True for the first occurrence of each distinct structure.
+    def features(self, structures: list[Structure]) -> list:
+        """Precompute match features once (the 27-image distance matrix
+        dominates); pass to unique_mask/novel_mask to share the work."""
+        return [self._features(s) for s in structures]
 
-        Fingerprints are computed once per structure (the 27-image distance
-        matrix dominates; recomputing it per pairwise fit made 1000-structure
-        gen_eval runs take minutes)."""
-        feats = [self._features(s) for s in structures]
+    def unique_mask(
+        self, structures: list[Structure], feats: list | None = None
+    ) -> np.ndarray:
+        """True for the first occurrence of each distinct structure."""
+        feats = feats if feats is not None else self.features(structures)
         mask = np.ones(len(structures), dtype=bool)
         kept: list = []
         for i, f in enumerate(feats):
@@ -78,16 +86,19 @@ class StructureMatcher:
         return mask
 
     def novel_mask(
-        self, structures: list[Structure], reference: list[Structure]
+        self,
+        structures: list[Structure],
+        reference: list[Structure],
+        feats: list | None = None,
     ) -> np.ndarray:
         """True where a structure matches nothing in the reference set."""
+        feats = feats if feats is not None else self.features(structures)
         by_formula: dict[str, list] = {}
         for r in reference:
             f = self._features(r)
             by_formula.setdefault(f[0], []).append(f)
         out = np.ones(len(structures), dtype=bool)
-        for i, s in enumerate(structures):
-            f = self._features(s)
+        for i, f in enumerate(feats):
             for rf in by_formula.get(f[0], []):
                 if self._fit_features(f, rf):
                     out[i] = False

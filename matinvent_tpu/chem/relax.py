@@ -117,6 +117,9 @@ class SoftSphereRelaxer:
     def __call__(
         self, structures: Sequence[Structure], xyz_path: str | None = None
     ) -> tuple[List[Structure], List[float]]:
+        """``xyz_path``: when given, the relaxed structures are written back
+        to it (the reference's mlip_opt overwrites the valid-samples extxyz,
+        pipeline/mat_invent.py:89-93)."""
         if not structures:
             return [], []
         ok = [s.num_atoms <= self.max_atoms for s in structures]
@@ -142,4 +145,8 @@ class SoftSphereRelaxer:
                     )
                     energies[i] = float(e[j])
                     j += 1
+        if xyz_path:
+            from matinvent_tpu.chem.structure import save_extxyz
+
+            save_extxyz(out_strucs, xyz_path)
         return out_strucs, energies

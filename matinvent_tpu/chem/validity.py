@@ -73,6 +73,8 @@ def smact_valid(obj: Structure | Composition) -> bool:
     neutral on the reduced formula and electronegativity-consistent.
     """
     comp = obj.composition if isinstance(obj, Structure) else obj
+    if "X" in comp.elements:
+        return False  # dummy species (e.g. surviving D3PM MASK states)
     if len(comp.elements) == 1:
         return True
     if comp.is_all_metal:
@@ -94,6 +96,8 @@ def structure_validity(
 
     if not np.isfinite(structure.lattice).all() or not np.isfinite(structure.frac_coords).all():
         return False
+    if (structure.species < 1).any() or (structure.species > 100).any():
+        return False  # dummy/unknown species
     if structure.volume < min_volume:
         return False
     if structure.num_atoms == 0:

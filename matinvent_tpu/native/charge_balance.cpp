@@ -73,6 +73,11 @@ bool dfs(const Ctx& ctx, int i, long long charge, double max_cat_en,
 extern "C" int charge_balanced(const int* ox_flat, const int* ox_offsets,
                                const int* counts, const double* en,
                                int n_elements) {
+    // an element with no oxidation states can never balance (also guards the
+    // suffix-bound reads below against an empty [begin, end) range)
+    for (int i = 0; i < n_elements; ++i) {
+        if (ox_offsets[i] == ox_offsets[i + 1]) return 0;
+    }
     Ctx ctx{ox_flat, ox_offsets, counts, en, n_elements, {}, {}};
     ctx.min_rest.assign(n_elements + 1, 0);
     ctx.max_rest.assign(n_elements + 1, 0);

@@ -179,9 +179,12 @@ class OptFilter:
 
         masks["validity"] = invalid_filter(structures, structures, return_mask=True,
                                            num_workers=self.num_workers)
-        masks["unique"] = self.matcher.unique_mask(structures)
+        feats = self.matcher.features(structures)
+        masks["unique"] = self.matcher.unique_mask(structures, feats)
         if self.reference.structures:
-            masks["novel"] = self.matcher.novel_mask(structures, self.reference.structures)
+            masks["novel"] = self.matcher.novel_mask(
+                structures, self.reference.structures, feats
+            )
         else:
             masks["novel"] = np.ones(n, dtype=bool)
         if self.stability_fn is not None and energies is not None:

@@ -172,3 +172,47 @@ class TestNiggli:
         np.testing.assert_allclose(
             r.min_interatomic_distance(), s.min_interatomic_distance(), rtol=1e-6
         )
+
+
+class TestFormulaParsing:
+    def test_parenthesized_groups(self):
+        c = Composition("Ca(OH)2")
+        assert c.counts == {"Ca": 1.0, "H": 2.0, "O": 2.0}
+        c2 = Composition("Mg3(PO4)2")
+        assert c2.counts == {"Mg": 3.0, "O": 8.0, "P": 2.0}
+
+    def test_fractional_counts(self):
+        c = Composition("Li0.5CoO2")
+        assert c.counts["Li"] == 0.5
+
+    def test_zero_counts_dropped(self):
+        c = Composition("Fe0O3")
+        assert "Fe" not in c.counts
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError):
+            Composition("Ca(OH")
+        with pytest.raises(ValueError):
+            Composition("not@formula")
+
+
+class TestMatcherSupercell:
+    def test_supercell_matches_primitive(self):
+        m = StructureMatcher()
+        prim = make_nacl()
+        # exact 2x1x1 supercell: same crystal
+        lat = prim.lattice.copy()
+        lat[0] *= 2
+        frac = np.vstack([prim.frac_coords * [0.5, 1, 1],
+                          prim.frac_coords * [0.5, 1, 1] + [0.5, 0, 0]])
+        species = np.concatenate([prim.species, prim.species])
+        sup = Structure(lat, species, frac)
+        assert m.fit(prim, sup)
+
+
+class TestDummySpecies:
+    def test_all_x_invalid(self):
+        s = Structure.from_parameters([5, 5, 5], [90, 90, 90], [0, 0],
+                                      np.array([[0, 0, 0], [0.5, 0.5, 0.5]]))
+        assert not smact_valid(s)
+        assert not structure_validity(s)
