@@ -109,13 +109,21 @@ class Structure:
         return mass_g / vol_cm3
 
     def distance_matrix(self) -> np.ndarray:
-        """[N, N] minimum-image pairwise distances (27-offset search)."""
+        """[N, N] minimum-image pairwise distances (27-offset search).
+
+        Cached: structures are treated as immutable after construction, and
+        validity + matcher fingerprints both need this matrix."""
+        cached = getattr(self, "_dm_cache", None)
+        if cached is not None:
+            return cached
         cart = self.cart_coords
         offsets = OFFSETS_27 @ self.lattice  # [27, 3]
         diff = cart[None, :, :] - cart[:, None, :]  # [N, N, 3]
         d = diff[:, :, None, :] + offsets[None, None, :, :]  # [N, N, 27, 3]
         dists = np.linalg.norm(d, axis=-1)
-        return dists.min(axis=-1)
+        out = dists.min(axis=-1)
+        object.__setattr__(self, "_dm_cache", out)
+        return out
 
     def min_interatomic_distance(self) -> float:
         """Smallest atom-atom distance incl. periodic self-images."""
