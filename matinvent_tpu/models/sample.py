@@ -71,7 +71,11 @@ class DiffCSPSampler:
     num_atoms_distribution: str = "mp_20"
     max_atoms: int = 20
     step_lr: float | None = None
+    record_trajectories: bool = False
     seed: int = 0
+    # last recorded trajectory + its num_atoms (record_trajectories=True)
+    last_trajectory: Any = None
+    last_num_atoms: Any = None
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -110,9 +114,13 @@ class DiffCSPSampler:
             num_atoms_dev = jax.device_put(num_atoms_dev, sharding)
 
         self._key, sk = jax.random.split(self._key)
-        final, _ = diffusion.sample(
-            params, sk, num_atoms_dev, max_atoms=self.max_atoms, step_lr=step_lr
+        final, traj = diffusion.sample(
+            params, sk, num_atoms_dev, max_atoms=self.max_atoms, step_lr=step_lr,
+            record_traj=self.record_trajectories,
         )
+        if self.record_trajectories:
+            self.last_trajectory = traj
+            self.last_num_atoms = num_atoms_dev
         return final
 
     def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:

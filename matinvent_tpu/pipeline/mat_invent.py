@@ -47,6 +47,7 @@ class MatInvent(ReinL):
         profile_steps: int = 1,
         async_sampling: bool = False,
         state_save_freq: int = 1,
+        finetune_mode: str = "reward_weighted",
         **kwargs,
     ) -> None:
         super().__init__(
@@ -71,6 +72,37 @@ class MatInvent(ReinL):
 
         self.load_model()
         self.finetuner = self.model_suite.get_finetuner(**self.finetune_cfg)
+
+        # finetune mode: 'reward_weighted' (the reference objective) or
+        # 'ddpo' — PPO-clipped policy gradients over recorded sampling
+        # trajectories (the reference ships this machinery unwired;
+        # SURVEY.md §7). DDPO trains on the CURRENT iteration's trajectories
+        # only (replay entries have no stored trajectory).
+        assert finetune_mode in ("reward_weighted", "ddpo")
+        self.finetune_mode = finetune_mode
+        if finetune_mode == "ddpo":
+            if async_sampling:
+                raise ValueError("ddpo finetuning is incompatible with async_sampling")
+            from matinvent_tpu.models.diffcsp import DiffCSPDiffusion
+            from matinvent_tpu.models.sample import DEFAULT_STEP_LR
+            from matinvent_tpu.parallel.train import DDPOFinetuneStep
+
+            if not isinstance(self.diffusion, DiffCSPDiffusion):
+                raise ValueError("ddpo mode currently supports the DiffCSP family")
+            self.sampler.record_trajectories = True
+            step_lr = getattr(self.sampler, "step_lr", None) or DEFAULT_STEP_LR[
+                "gen"
+            ].get(getattr(self.sampler, "num_atoms_distribution", "mp_20"), 5e-6)
+            # the recorded trajectory always has the model's full T steps
+            t_traj = int(self.diffusion.config.timesteps)
+            accum = int(self.finetune_cfg.get("accum_steps", 50))
+            self.ddpo = DDPOFinetuneStep(
+                self.diffusion,
+                lr=float(self.finetune_cfg.get("lr", 1e-5)),
+                clip_eps=float(self.finetune_cfg.get("clip_eps", 0.2)),
+                chunk=accum if t_traj % accum == 0 else t_traj,
+                step_lr=float(step_lr),
+            )
 
         # async host/device overlap (SURVEY.md §7 'Host-device overlap'): when
         # enabled, the device starts sampling iteration t+1 (with the
@@ -170,6 +202,10 @@ class MatInvent(ReinL):
                 batch_size=self.sample_cfg.get("batch_size"),
                 num_batches=self.sample_cfg.get("num_batches"),
             )
+        # tag each sample with its position in the generated batch so DDPO
+        # can slice the recorded trajectory after filtering/scoring
+        for i, d in enumerate(sample_data):
+            d["batch_index"] = i
         if self.sample_cfg.get("invalid_filter", True):
             sample_data, sample_struc = invalid_filter(sample_data, sample_struc)
         logging.info(f"Number of valid samples: {len(sample_struc)}")
@@ -233,6 +269,27 @@ class MatInvent(ReinL):
             logging.info(
                 f"Epoch {e}: " + ", ".join(f"{k}: {v:.4f}" for k, v in m.items())
             )
+
+    def ft_step_ddpo(self, sample_list: List[dict], rewards: np.ndarray):
+        traj = self.sampler.last_trajectory
+        num_atoms_all = self.sampler.last_num_atoms
+        if traj is None or len(sample_list) == 0:
+            logging.warning("ddpo ft skipped: no trajectory or no scored samples")
+            return
+        idx = jnp.asarray([d["batch_index"] for d in sample_list], jnp.int32)
+        traj_sel = jax.tree.map(
+            lambda x: x[:, idx] if x.ndim >= 2 and x.shape[1] == num_atoms_all.shape[0]
+            else x,
+            traj,
+        )
+        num_atoms = num_atoms_all[idx]
+        A = self.sampler.max_atoms
+        mask = jnp.arange(A)[None, :] < num_atoms[:, None]
+        self.agent_params, loss = self.ddpo.run(
+            self.agent_params, traj_sel, num_atoms, mask,
+            jnp.asarray(rewards, jnp.float32),
+        )
+        logging.info(f"DDPO loss: {loss:.5f}")
 
     def rl_step(self):
         logging.info(f"*****   LOOP {self.step} START   *****")
@@ -316,7 +373,11 @@ class MatInvent(ReinL):
         if len(ft_reward):
             baseline = min(baseline, ft_reward.min())
         with self.timer.phase("finetune"):
-            self.ft_step(ft_data, ft_reward, baseline)
+            if self.finetune_mode == "ddpo":
+                # policy gradients over this iteration's recorded trajectories
+                self.ft_step_ddpo(sample_list, rewards)
+            else:
+                self.ft_step(ft_data, ft_reward, baseline)
 
         log_dict.update(self.timer.pop())
         if self.logger is not None:

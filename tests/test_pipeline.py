@@ -217,3 +217,31 @@ def test_wandb_logger_clear_error_without_wandb():
 
     with pytest.raises(ImportError, match="wandb is not installed"):
         WandBLogger(name="x", project="y")
+
+
+@pytest.mark.slow
+def test_ddpo_finetune_mode_e2e(tmp_path):
+    """finetune_mode=ddpo: policy gradients over recorded trajectories."""
+    import main as cli
+
+    cwd = os.getcwd()
+    try:
+        cli.main(
+            [
+                f"results_dir={tmp_path}", "expname=dd", "rl_epoch=2",
+                "eval_size=2", "seed=0", "reward=density", "logger=csv",
+                "model.model_cfg.hidden_dim=32", "model.model_cfg.num_layers=2",
+                "model.model_cfg.time_dim=16", "model.model_cfg.timesteps=10",
+                "model.model_cfg.sample_clip=15.0",
+                "model.sample_cfg.batch_size=6",
+                "pipeline.finetune_cfg.accum_steps=5",
+                "sample_cfg.filter=null", "sample_cfg.invalid_filter=false",
+                "+pipeline.finetune_mode=ddpo",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "dd" / "metrics.csv")
+    assert len(df) == 2  # both iterations completed with DDPO updates
