@@ -99,6 +99,7 @@ def main(argv: list[str]) -> None:
     accum = int(kv.get("accum", 25))
     sigma = float(kv.get("sigma", 0.1))
     batch = int(kv.get("batch", 128))
+    mode = kv.get("mode", "reward_weighted")
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -155,6 +156,7 @@ def main(argv: list[str]) -> None:
                 f"pipeline.finetune_cfg.epochs={epochs}",
                 f"pipeline.finetune_cfg.sigma={sigma}",
                 "model.finetune_cfg.lr=0.0001",
+                f"+pipeline.finetune_mode={mode}",
                 f"pipeline.save_freq={iters}",
                 "sample_cfg.filter=null",
             ]
