@@ -15,6 +15,13 @@ ragged batching) are ~0.55 structures/sec/GPU; vs_baseline = value / 0.55.
 """
 from __future__ import annotations
 
+import os
+
+# persistent XLA compilation cache: repeated driver invocations skip the
+# multi-minute remote compiles of the 1000-step scans
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import json
 import time
 
