@@ -250,13 +250,21 @@ class DiffCSPDiffusion:
         key: jax.Array,
         t_index: jax.Array,
         sigma_kl: float,
+        conditions=None,
     ) -> jax.Array:
         """Reward-weighted diffusion loss + KL regularizer at one timestep.
 
         Mirrors the reference inner finetune expression
         (pipeline/mat_invent.py:150-163):
         ``mean_B(reward * sample_loss + sigma * (1.1 - reward) * KL)``.
+
+        ``conditions`` is accepted for signature parity with the MatterGen
+        family (FinetuneStep passes it through uniformly); DiffCSP is an
+        unconditional model, so non-None conditions are rejected loudly
+        rather than silently ignored.
         """
+        if conditions is not None:
+            raise ValueError("DiffCSP is unconditional; got conditions != None")
         mask = batch.mask
         noised, targets, _ = self.add_noise(key, batch, t_index)
         sample_loss, agent_pred = self.sample_losses(
@@ -281,6 +289,7 @@ class DiffCSPDiffusion:
         key: jax.Array,
         t_indices: jax.Array,  # [C] timestep indices in this accumulation chunk
         sigma_kl: float,
+        conditions=None,
     ) -> tuple[jax.Array, tuple]:
         """Mean loss over one grad-accumulation chunk of timesteps.
 
@@ -291,7 +300,7 @@ class DiffCSPDiffusion:
         keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(t_indices)
         losses, aux = jax.vmap(
             lambda k, t: self.rl_timestep_loss(
-                params, prior_params, batch, rewards, k, t, sigma_kl
+                params, prior_params, batch, rewards, k, t, sigma_kl, conditions
             )
         )(keys, t_indices)
         return jnp.mean(losses), jax.tree.map(jnp.sum, aux)

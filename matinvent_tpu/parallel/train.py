@@ -65,10 +65,8 @@ class FinetuneStep:
         """One epoch = scan over accumulation chunks with optimizer updates."""
 
         def loss_fn(p, ck, t_idx):
-            if conditions is None:
-                return self.diffusion.rl_chunk_loss(
-                    p, prior_params, batch, rewards, ck, t_idx, self.sigma_kl
-                )
+            # both model families accept conditions (DiffCSP rejects non-None
+            # loudly — it is unconditional by design)
             return self.diffusion.rl_chunk_loss(
                 p, prior_params, batch, rewards, ck, t_idx, self.sigma_kl,
                 conditions=conditions,

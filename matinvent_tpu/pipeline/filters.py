@@ -144,6 +144,18 @@ class OptFilter:
             from matinvent_tpu.rewards.calculators.syn_score import SynScore
 
             syn_calculator = SynScore(root_dir="rewards/syn_filter")
+        if (
+            "synthesizable" in metrics
+            and not getattr(syn_calculator, "trained", True)
+        ):
+            # mirror the stability-skip behavior below: never gate samples on
+            # random-init scores presented as a synthesizability screen
+            logging.warning(
+                "'synthesizable' metric requested but the SynScore ensemble "
+                "has no trained weights (random init); skipping the "
+                "synthesizability screen"
+            )
+            syn_calculator = None
         self.syn_calculator = syn_calculator
         self.syn_threshold = syn_threshold
 

@@ -71,6 +71,10 @@ class SynScore(Calculator):
         super().__init__(root_dir, task)
         self.n_models = n_models
         self._emb = self._load_embeddings(emb_path)
+        # ``trained`` is flipped by _load_ensemble when real weights load;
+        # consumers (e.g. OptFilter's synthesizability screen) use it to
+        # refuse to gate on random-init scores silently.
+        self.trained = False
         self._params = self._load_ensemble(model_path, seed)
 
     # ------------------------------------------------------------- embeddings
@@ -96,6 +100,16 @@ class SynScore(Calculator):
     # --------------------------------------------------------------- ensemble
     def _load_ensemble(self, model_path: str | None, seed: int) -> dict:
         """Stacked params: w1 [E,90,180] b1 [E,180] w2 [E,180,2] b2 [E,2]."""
+        if model_path is None:
+            # in-repo default ensemble (tools/train_syn_score.py output) —
+            # mirrors the reference shipping trained bags under
+            # rewards/calculators/syn_score/
+            default = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "weights",
+                "syn_score.npz",
+            )
+            if os.path.isfile(default):
+                model_path = default
         if model_path and os.path.isdir(model_path):
             pths = sorted(
                 f for f in os.listdir(model_path) if f.endswith(".pth.tar")
@@ -113,6 +127,7 @@ class SynScore(Calculator):
                     b1.append(np.asarray(sd["cgnf_to_fc.bias"]))
                     w2.append(np.asarray(sd["fc_out.weight"]).T)
                     b2.append(np.asarray(sd["fc_out.bias"]))
+                self.trained = True
                 return {
                     "w1": jnp.asarray(np.stack(w1)),
                     "b1": jnp.asarray(np.stack(b1)),
@@ -121,6 +136,7 @@ class SynScore(Calculator):
                 }
         if model_path and os.path.isfile(model_path):
             data = np.load(model_path)
+            self.trained = True
             return {k: jnp.asarray(data[k]) for k in ("w1", "b1", "w2", "b2")}
         rng = np.random.default_rng(seed)
         E = self.n_models
