@@ -89,14 +89,36 @@ class MatterGenSuite(ModelSuite):
                 jax.random.PRNGKey(self.seed)
             )
         msgpack = Path(self.model_path) / "params.msgpack"
-        if not msgpack.exists():
+        if msgpack.exists():
+            template = self.diffusion.init_params(jax.random.PRNGKey(0))
+            with open(msgpack, "rb") as fh:
+                params = serialization.from_bytes(template, fh.read())
+            return self.diffusion, params
+
+        # torch container (reference save format, mattergen.py:120-131):
+        # import in place. GemNet-package checkpoints are rejected with a
+        # clear architectural-incompatibility error (mattergen_import).
+        ckpts = sorted(Path(self.model_path).glob("*.ckpt"))
+        if not ckpts:
             raise FileNotFoundError(
-                f"no params.msgpack under {self.model_path} — convert reference "
-                "checkpoints with tools/convert_mattergen_ckpt.py first"
+                f"no params.msgpack or *.ckpt under {self.model_path} — "
+                "convert checkpoints with tools/convert_mattergen_ckpt.py"
             )
+        ckpt = next((c for c in ckpts if "last" in c.name), ckpts[-1])
+        import torch
+
+        from matinvent_tpu.models.suite.mattergen_import import (
+            mattergen_params_from_state_dict,
+        )
+
+        raw = torch.load(str(ckpt), map_location="cpu", weights_only=False)
+        sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        sd = {
+            k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()
+        }
         template = self.diffusion.init_params(jax.random.PRNGKey(0))
-        with open(msgpack, "rb") as fh:
-            params = serialization.from_bytes(template, fh.read())
+        params = mattergen_params_from_state_dict(sd, template)
+        params = jax.tree.map(jax.numpy.asarray, params)
         return self.diffusion, params
 
     def get_sampler(self) -> MatterGenSampler:
@@ -132,6 +154,16 @@ class MatterGenSuite(ModelSuite):
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "params.msgpack"), "wb") as fh:
             fh.write(serialization.to_bytes(jax.device_get(params)))
+        # torch-style flat state_dict for interoperability (same bridge the
+        # loader and tools/convert_mattergen_ckpt.py use)
+        import numpy as np
+
+        from matinvent_tpu.models.suite.mattergen_import import (
+            mattergen_state_dict_from_params,
+        )
+
+        sd = mattergen_state_dict_from_params(jax.device_get(params))
+        np.savez(os.path.join(save_dir, "state_dict.npz"), **sd)
         cfg = {
             k: (list(v) if isinstance(v, tuple) else v)
             for k, v in (

@@ -19,6 +19,7 @@ distilling them into this backbone (the architectures differ by design).
 """
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 from typing import List, Tuple
@@ -81,13 +82,41 @@ class PropertyGNN:
             jnp.full((1,), 4, jnp.int32),
             jnp.ones((1, 4), bool),
         )
+        # output standardization (stored in the checkpoint when the model was
+        # trained on standardized targets, tools/train_predictor.py)
+        self.y_mean = 0.0
+        self.y_std = 1.0
         self.loaded = False
         if model_dir:
             path = os.path.join(model_dir, f"{model_name}.msgpack")
             if os.path.exists(path):
                 with open(path, "rb") as fh:
-                    self.params = serialization.from_bytes(self.params, fh.read())
-                self.loaded = True
+                    blob = fh.read()
+                try:
+                    ckpt = serialization.from_bytes(
+                        {"params": self.params, "y_mean": 0.0, "y_std": 1.0}, blob
+                    )
+                    params, y_mean, y_std = (
+                        ckpt["params"], float(ckpt["y_mean"]), float(ckpt["y_std"])
+                    )
+                except (ValueError, KeyError):  # legacy raw-params checkpoint
+                    params = serialization.from_bytes(self.params, blob)
+                    y_mean, y_std = 0.0, 1.0
+                # from_bytes restores by tree structure only — verify leaf
+                # shapes so a checkpoint trained at different hidden_dim /
+                # num_layers cannot be silently mis-loaded
+                tmpl_shapes = jax.tree.map(jnp.shape, self.params)
+                ckpt_shapes = jax.tree.map(lambda a: tuple(a.shape), params)
+                if tmpl_shapes == ckpt_shapes:
+                    self.params = params
+                    self.y_mean, self.y_std = y_mean, y_std
+                    self.loaded = True
+                else:
+                    logging.warning(
+                        f"predictor checkpoint {path} does not match this "
+                        f"architecture (hidden_dim/num_layers differ) — "
+                        f"keeping random init"
+                    )
 
     @partial(jax.jit, static_argnames=("self",))
     def _forward(self, params, batch: CrystalBatch) -> jax.Array:
@@ -121,7 +150,7 @@ class PropertyGNN:
                 max_atoms=self.max_atoms,
             )
             vals = np.asarray(self._forward(self.params, batch), dtype=float)
-            out[np.where(ok)[0]] = vals
+            out[np.where(ok)[0]] = vals * self.y_std + self.y_mean
         return out
 
 
@@ -141,6 +170,15 @@ class PropertyPredictor(Calculator):
         super().__init__(root_dir, task)
         if task not in TASK_MODEL_DICT:
             raise ValueError(f"{task} is an unknown task for PropertyPredictor")
+        if model_dir is None:
+            # in-repo default weights (trained by tools/train_predictor.py on
+            # the proxy-label corpus; the reference downloads its ALIGNN
+            # checkpoints instead, alignn/prediction.py:209-301)
+            default = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "weights", "predictors"
+            )
+            if os.path.isdir(default):
+                model_dir = default
         self.model_dir = model_dir
         self._gnn_kwargs = dict(
             model_dir=model_dir,

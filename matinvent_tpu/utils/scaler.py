@@ -18,8 +18,8 @@ class StandardScaler:
     def fit(self, x) -> "StandardScaler":
         x = jnp.asarray(x)
         self.means = jnp.mean(x, axis=0)
-        # torch.std default: unbiased (ddof=1)
-        self.stds = jnp.std(x, axis=0, ddof=1) + 1e-5
+        # reference fit uses unbiased=False (utils.py:892) + EPSILON
+        self.stds = jnp.std(x, axis=0, ddof=0) + 1e-5
         return self
 
     def transform(self, x):
