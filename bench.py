@@ -2,16 +2,31 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Workload: the reference's MatInvent sampling operating point (BASELINE.md) —
-batch 64 crystals, 1000 predictor-corrector denoising steps (2 score-network
-evals/step), DiffCSP-class network (hidden 128, 4 layers) — executed as one
-jitted lax.scan on the TPU.
+Workload (default): the north-star operating point from BASELINE.md — the
+MatterGen-class flagship net (hidden 256, 6 layers, 1 corrector => 2
+score-net evals/step), batch 64 crystals, 1000 predictor-corrector steps,
+bfloat16 score-net compute — executed as one jitted lax.scan per size
+bucket on the TPU. ``BENCH_MODEL=diffcsp`` selects the secondary
+DiffCSP-class workload (hidden 128, 4 layers) instead.
 
-vs_baseline: the reference publishes no in-repo numbers (BASELINE.json
-"published": {}). We use the driver's north-star anchor: an A100 running the
-reference PyTorch stack at this operating point. Measured reference wall-times
-for DiffCSP-class sampling (1000 PC steps, batch ~64, eager PyTorch + pyg
-ragged batching) are ~0.55 structures/sec/GPU; vs_baseline = value / 0.55.
+vs_baseline anchor — stated basis (the reference publishes no numbers
+in-repo; BASELINE.json "published": {}):
+
+* Measured: the reference-semantics eager-torch denoiser (ragged pyg-style
+  fc-edge batching, identical widths h256/L6, batch 64) runs at 432 ms/eval
+  on this host's CPU => 0.074 structs/sec for the 2000-eval chain
+  (tools/bench_reference_torch.py, archived in experiments/results/).
+* A100 estimate: per-eval cost on an A100 for that eager stack is bounded
+  below by ~100+ kernel launches/eval (~1 ms) plus small-kernel compute at
+  ~5 TFLOP/s effective (~1 ms for the 4.4 GFLOP ragged eval), i.e. ~2 ms/eval
+  => <= 16 structs/sec ceiling for the light stand-in net. The reference's
+  actual pretrained MatterGen wraps a far heavier GemNet-style denoiser
+  (triplet interactions), placing it at ~1 structs/sec. We anchor against
+  ANCHOR_A100 = 10 structs/sec — the top of that band, deliberately
+  reference-favorable.
+
+MFU: analytic dense-path FLOPs per eval divided by measured wall time and
+the v5e bf16 peak (197 TFLOP/s), reported in the JSON for the record.
 """
 from __future__ import annotations
 
@@ -29,16 +44,84 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_STRUCS_PER_SEC = 0.55
+ANCHOR_A100_STRUCS_PER_SEC = 10.0  # see module docstring for the basis
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def main() -> None:
+def _mattergen_flops_per_eval(B: int, A: int, H: int, L: int, nfreq: int = 10):
+    """Analytic dense-path matmul FLOPs for one score-net eval."""
+    E, N = B * A * A, B * A
+    dis = nfreq * 6
+    per_layer = (
+        2 * E * dis * H  # term_d
+        + 2 * 2 * N * H * H  # term_i, term_j
+        + 2 * B * 9 * H  # term_l
+        + 2 * E * H * H  # edge_mlp_1
+        + 2 * N * 2 * H * H  # node_mlp_0
+        + 2 * N * H * H  # node_mlp_1
+    )
+    heads = 2 * N * H * (3 + 100) + 2 * B * H * 9
+    return L * per_layer + heads
+
+
+def bench_mattergen() -> dict:
+    from matinvent_tpu.models.mattergen.diffusion import (
+        MatterGenConfig,
+        MatterGenDiffusion,
+    )
+
+    B, A, T, H, L = 64, 20, 1000, 256, 6
+    cfg = MatterGenConfig(
+        hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
+        n_corrector=1, sample_dtype="bfloat16",
+    )
+    diffusion = MatterGenDiffusion(cfg)
+    params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)
+
+    rng = np.random.default_rng(0)
+    num_atoms = jnp.asarray(np.maximum(rng.integers(1, A + 1, (B,)), 1), jnp.int32)
+
+    def run(seed: int):
+        final, _ = diffusion.sample(
+            params, jax.random.PRNGKey(seed), num_atoms, max_atoms=A
+        )
+        jax.block_until_ready(final.frac_coords)
+        return final
+
+    run(0)  # compile
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        run(i)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    evals = T * (1 + cfg.n_corrector)
+    flops = _mattergen_flops_per_eval(B, A, H, L) * evals
+    mfu = flops / dt / (V5E_BF16_PEAK_TFLOPS * 1e12)
+    return {
+        "metric": "structures_per_sec_per_chip_reverse_sampling_mattergen",
+        "value": round(B / dt, 3),
+        "unit": (
+            "structures/sec/chip (MatterGen-class h256/L6, batch 64, "
+            "1000 PC steps x 2 evals, bf16)"
+        ),
+        "vs_baseline": round(B / dt / ANCHOR_A100_STRUCS_PER_SEC, 2),
+        "mfu": round(mfu, 4),
+        "anchor_basis": (
+            "A100-estimate 10 structs/s (reference-favorable; measured "
+            "host-CPU eager-torch ragged stand-in: 0.074 structs/s, "
+            "tools/bench_reference_torch.py)"
+        ),
+    }
+
+
+def bench_diffcsp() -> dict:
     from matinvent_tpu.models.diffcsp import DiffCSPConfig, DiffCSPDiffusion
 
     B, A, T = 64, 20, 1000
     cfg = DiffCSPConfig(
-        hidden_dim=128, num_layers=4, time_dim=256, timesteps=T, sample_clip=1e4,
-        sample_dtype="bfloat16",
+        hidden_dim=128, num_layers=4, time_dim=256, timesteps=T,
+        sample_clip=1e4, sample_dtype="bfloat16",
     )
     diffusion = DiffCSPDiffusion(cfg)
     params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)
@@ -53,24 +136,29 @@ def main() -> None:
         jax.block_until_ready(final.frac_coords)
         return final
 
-    run(0)  # compile
+    run(0)
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(1, n_iters + 1):
         run(i)
     dt = (time.perf_counter() - t0) / n_iters
+    flops = _mattergen_flops_per_eval(B, A, 128, 4) * T * 2
+    return {
+        "metric": "structures_per_sec_per_chip_reverse_sampling_diffcsp",
+        "value": round(B / dt, 3),
+        "unit": (
+            "structures/sec/chip (DiffCSP-class h128/L4, batch 64, "
+            "1000 PC steps x 2 evals, bf16)"
+        ),
+        "vs_baseline": round(B / dt / ANCHOR_A100_STRUCS_PER_SEC, 2),
+        "mfu": round(flops / dt / (V5E_BF16_PEAK_TFLOPS * 1e12), 4),
+    }
 
-    structs_per_sec = B / dt
-    print(
-        json.dumps(
-            {
-                "metric": "structures_per_sec_per_chip_reverse_sampling",
-                "value": round(structs_per_sec, 3),
-                "unit": "structures/sec/chip (batch 64, 1000 PC steps, DiffCSP-class net)",
-                "vs_baseline": round(structs_per_sec / A100_REFERENCE_STRUCS_PER_SEC, 2),
-            }
-        )
-    )
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODEL", "mattergen")
+    result = bench_diffcsp() if mode == "diffcsp" else bench_mattergen()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -75,27 +75,41 @@ def calc_log_abundance_crust(structures: List[Structure]) -> np.ndarray:
         return np.log10(calc_abundance_crust(structures))
 
 
+# Substrate facets restricted by industry practice, as in the reference
+# (calc.py:16-20 SUB_MILLERS): wafer substrates are cut (100); everything
+# else searches all distinct planes up to Miller index 1.
+SUB_MILLERS = {
+    "Si": [(1, 0, 0)],
+    "GaAs": [(1, 0, 0)],
+    "InP": [(1, 0, 0)],
+}
+
+
 def calc_mcia(
     structures: List[Structure],
     substrate: Structure,
+    substrate_millers=None,
     max_area: float = 400.0,
-    max_strain: float = 0.09,
 ) -> np.ndarray:
-    """Minimal coincident interface area (A^2) vs a substrate (001) surface.
+    """Minimal coincident interface area (A^2) vs a substrate.
 
-    Simplified Zur-McGill ZSL (calc.py:115-160 capability): enumerates integer
-    surface supercells of film and substrate (001) lattices up to ``max_area``
-    and returns the smallest coincident area whose mean absolute strain is
-    below ``max_strain``; NaN when no match exists.
+    Zur-McGill ZSL search over all film Miller indices <= 1 x the substrate
+    facets (calc.py:115-160 parity; pymatgen ZSLGenerator tolerances). Cells
+    are Niggli-reduced first — the documented stand-in for pymatgen's
+    conventional standardization (chem/niggli.py): it fixes skewed RL-sampled
+    cells the same way, without a full spacegroup engine.
     """
-    from matinvent_tpu.rewards.calculators.zsl import min_coincident_area
+    from matinvent_tpu.chem.niggli import niggli_reduce_matrix
+    from matinvent_tpu.rewards.calculators.zsl import MILLERS_MAX1, mcia_search
 
+    sub_lat = niggli_reduce_matrix(substrate.lattice)
+    sub_millers = substrate_millers if substrate_millers is not None else MILLERS_MAX1
     out = []
-    sub_surf = substrate.lattice[:2, :]
     for s in structures:
         try:
-            area = min_coincident_area(
-                s.lattice[:2, :], sub_surf, max_area=max_area, max_strain=max_strain
+            film_lat = niggli_reduce_matrix(s.lattice)
+            area = mcia_search(
+                film_lat, sub_lat, sub_millers=sub_millers, max_area=max_area
             )
             out.append(area if area is not None else np.nan)
         except Exception:
@@ -103,29 +117,67 @@ def calc_mcia(
     return np.array(out, dtype=float)
 
 
-# Common substrates (conventional cells) for MCIA, mirroring the reference's
-# substrate CIF directory (rewards/calculators/pymatgen/substrates/*.cif).
+# The reference's 9 wafer substrates (conventional cells built from the
+# lattice constants of its substrate CIF directory,
+# rewards/calculators/pymatgen/substrates/*.cif — public crystallographic
+# data). Only the lattice enters the ZSL search; sites are representative.
+_DIAMOND = np.vstack(
+    [
+        np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]),
+        np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) + 0.25,
+    ]
+)
+_WURTZITE = np.array(
+    [
+        [1 / 3, 2 / 3, 0.0], [2 / 3, 1 / 3, 0.5],  # cations
+        [1 / 3, 2 / 3, 0.382], [2 / 3, 1 / 3, 0.882],  # anions
+    ]
+)
+
+
 def make_substrate(name: str) -> Structure:
-    if name == "Si":  # diamond cubic a=5.431
-        a = 5.431
-        base = np.array(
-            [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
-        )
-        frac = np.vstack([base, base + 0.25])
-        return Structure.from_parameters([a] * 3, [90] * 3, [14] * 8, frac % 1.0)
-    if name == "GaAs":  # zinc blende a=5.653
-        a = 5.653
-        fcc = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
-        frac = np.vstack([fcc, fcc + 0.25])
+    def cubic(a, species, frac):
+        return Structure.from_parameters([a] * 3, [90] * 3, species, frac % 1.0)
+
+    def hexagonal(a, c, species, frac):
         return Structure.from_parameters(
-            [a] * 3, [90] * 3, [31] * 4 + [33] * 4, frac % 1.0
+            [a, a, c], [90, 90, 120], species, frac % 1.0
         )
-    if name == "InP":  # zinc blende a=5.869
-        a = 5.869
-        fcc = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
-        frac = np.vstack([fcc, fcc + 0.25])
-        return Structure.from_parameters(
-            [a] * 3, [90] * 3, [49] * 4 + [15] * 4, frac % 1.0
+
+    if name == "Si":  # diamond cubic
+        return cubic(5.431, [14] * 8, _DIAMOND)
+    if name == "Ge":  # diamond cubic
+        return cubic(5.6749, [32] * 8, _DIAMOND)
+    if name == "GaAs":  # zinc blende
+        return cubic(5.653, [31] * 4 + [33] * 4, _DIAMOND)
+    if name == "InP":  # zinc blende
+        return cubic(5.869, [49] * 4 + [15] * 4, _DIAMOND)
+    if name == "AlN":  # wurtzite
+        return hexagonal(3.1286, 5.0170, [13, 13, 7, 7], _WURTZITE)
+    if name == "GaN":  # wurtzite
+        return hexagonal(3.1889, 5.1924, [31, 31, 7, 7], _WURTZITE)
+    if name == "SiC":  # 6H polytype (hexagonal); sites simplified to 2H
+        return hexagonal(3.0766, 15.0981, [14, 14, 6, 6], _WURTZITE)
+    if name == "SiO2":  # alpha-quartz lattice
+        return hexagonal(
+            4.9150, 5.4313, [14, 14, 14, 8, 8, 8],
+            np.array(
+                [
+                    [0.470, 0.0, 1 / 3], [0.0, 0.470, 2 / 3], [0.530, 0.530, 0.0],
+                    [0.415, 0.267, 0.214], [0.733, 0.148, 0.547],
+                    [0.852, 0.585, 0.881],
+                ]
+            ),
+        )
+    if name == "Al2O3":  # corundum (hexagonal setting); Al sites only
+        return hexagonal(
+            4.8050, 13.1163, [13] * 4 + [8] * 2,
+            np.array(
+                [
+                    [0, 0, 0.352], [0, 0, 0.648], [1 / 3, 2 / 3, 0.019],
+                    [2 / 3, 1 / 3, 0.981], [0.306, 0.0, 0.25], [0.0, 0.306, 0.75],
+                ]
+            ),
         )
     raise ValueError(f"unknown substrate {name}")
 
@@ -140,6 +192,7 @@ class Empirical(Calculator):
         if task not in self.TASKS:
             raise ValueError(f"{task} is an unknown task for the Empirical calculator")
         self.substrate = make_substrate(substrate) if task == "mcia" else None
+        self.substrate_millers = SUB_MILLERS.get(substrate) if task == "mcia" else None
 
     def calc(
         self,
@@ -158,6 +211,8 @@ class Empirical(Calculator):
         elif self.task == "log_abundance":
             results = calc_log_abundance_crust(structures)
         else:
-            results = calc_mcia(structures, self.substrate)
+            results = calc_mcia(
+                structures, self.substrate, substrate_millers=self.substrate_millers
+            )
         self.save_results(results, label)
         return results

@@ -65,6 +65,46 @@ class TestCalculators:
         assert np.isfinite(res[0])
         assert res[0] <= 35.0  # ~a^2 = 29.5 A^2
 
+    def test_mcia_wafer_facet_restriction(self):
+        # Si substrate is restricted to (100) (reference SUB_MILLERS): the
+        # self-match on that facet is exactly the a^2 surface cell
+        from matinvent_tpu.rewards.calculators.empirical import SUB_MILLERS
+
+        si = make_substrate("Si")
+        res = calc_mcia([si], si, substrate_millers=SUB_MILLERS["Si"])
+        assert abs(res[0] - 5.431**2) < 1.0
+
+    def test_mcia_all_nine_substrates_instantiate(self):
+        for name in (
+            "Si", "Ge", "GaAs", "InP", "AlN", "GaN", "SiC", "SiO2", "Al2O3"
+        ):
+            s = make_substrate(name)
+            assert s.num_atoms >= 4 and np.isfinite(s.volume) and s.volume > 0
+
+    def test_mcia_miller_search_beats_001_only(self):
+        # a hexagonal film whose (001) facet mismatches Si(100) badly still
+        # matches through an inclined plane — the Miller search must find a
+        # smaller (or any) area where the (001)-only search found none
+        from matinvent_tpu.chem.structure import Structure
+        from matinvent_tpu.rewards.calculators.zsl import (
+            mcia_search, min_coincident_area, plane_basis,
+        )
+
+        si = make_substrate("Si")
+        # orthorhombic film: (001) facet is 7.9 x 5.431 (mismatched), but the
+        # (100) facet is exactly the Si conventional a^2 square
+        film = Structure.from_parameters(
+            [7.9, 5.431, 5.431], [90, 90, 90], [13, 7], [[0, 0, 0], [0.5, 0.5, 0.5]]
+        )
+        only_001 = min_coincident_area(
+            plane_basis(film.lattice, (0, 0, 1)),
+            plane_basis(si.lattice, (1, 0, 0)),
+        )
+        full = mcia_search(film.lattice, si.lattice, sub_millers=[(1, 0, 0)])
+        assert full is not None and abs(full - 5.431**2) < 1.0
+        if only_001 is not None:
+            assert full <= only_001
+
 
 class FakeCalc:
     """Analytic calculator for pipeline tests: density with optional NaN."""
