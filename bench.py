@@ -69,6 +69,7 @@ def bench_mattergen() -> dict:
         MatterGenConfig,
         MatterGenDiffusion,
     )
+    from matinvent_tpu.models.mattergen.sample import MatterGenSampler
 
     B, A, T, H, L = 64, 20, 1000, 256, 6
     cfg = MatterGenConfig(
@@ -78,32 +79,43 @@ def bench_mattergen() -> dict:
     diffusion = MatterGenDiffusion(cfg)
     params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)
 
-    rng = np.random.default_rng(0)
-    num_atoms = jnp.asarray(np.maximum(rng.integers(1, A + 1, (B,)), 1), jnp.int32)
-
-    def run(seed: int):
-        final, _ = diffusion.sample(
-            params, jax.random.PRNGKey(seed), num_atoms, max_atoms=A
+    def run() -> tuple:
+        # fresh sampler per run: identical draws => stable compile key; the
+        # reference's num-atoms distribution (ALEX_MP_20 stand-in) + the
+        # size-bucketed fused scan (sample_bucketed)
+        sampler = MatterGenSampler(
+            batch_size=B, num_batches=1, max_atoms=A,
+            num_atoms_distribution="ALEX_MP_20", size_buckets=3, seed=0,
         )
+        final = sampler.launch((diffusion, params))
         jax.block_until_ready(final.frac_coords)
         return final
 
-    run(0)  # compile
+    run()  # compile
     n_iters = 3
     t0 = time.perf_counter()
-    for i in range(1, n_iters + 1):
-        run(i)
+    for _ in range(n_iters):
+        run()
     dt = (time.perf_counter() - t0) / n_iters
 
+    # actual computed FLOPs: per-bucket shapes of the sorted split
+    sampler = MatterGenSampler(
+        batch_size=B, num_batches=1, max_atoms=A,
+        num_atoms_distribution="ALEX_MP_20", size_buckets=3, seed=0,
+    )
+    draws = sampler._draw_num_atoms(B)
     evals = T * (1 + cfg.n_corrector)
-    flops = _mattergen_flops_per_eval(B, A, H, L) * evals
+    flops = 0
+    for idx in np.array_split(np.argsort(draws, kind="stable"), 3):
+        cap = min(int(np.ceil(max(int(draws[idx].max()), 1) / 4) * 4), A)
+        flops += _mattergen_flops_per_eval(len(idx), cap, H, L) * evals
     mfu = flops / dt / (V5E_BF16_PEAK_TFLOPS * 1e12)
     return {
         "metric": "structures_per_sec_per_chip_reverse_sampling_mattergen",
         "value": round(B / dt, 3),
         "unit": (
-            "structures/sec/chip (MatterGen-class h256/L6, batch 64, "
-            "1000 PC steps x 2 evals, bf16)"
+            "structures/sec/chip (MatterGen-class h256/L6, batch 64, ALEX_MP_20 "
+            "num-atoms draws, 3 size buckets, 1000 PC steps x 2 evals, bf16)"
         ),
         "vs_baseline": round(B / dt / ANCHOR_A100_STRUCS_PER_SEC, 2),
         "mfu": round(mfu, 4),

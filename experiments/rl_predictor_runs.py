@@ -1,0 +1,139 @@
+"""RL runs driven by the trained ML property predictors (BASELINE.md
+benchmark configs 3 and 4).
+
+Config 3: MatterGen-family + magnetic-density reward — the PropertyPredictor
+loads the shipped mp_total_mag_per_atom weights (R^2 ~ 1.0 on the proxy
+corpus) and the policy must steer compositions toward magnetic elements.
+
+Config 4: multi-property band gap + bulk modulus (reward=gap_bulk,
+reduce=weight) with the OptFilter metrics screen and the LTM/AHC diversity
+filter enabled — the full MatInvent loop of the reference
+(configs/pipeline/mat_invent.yaml:24-27, reward yamls band_gap+bulk).
+
+Reuses the demo corpus + pretraining from experiments/rl_demo.py.
+
+    python experiments/rl_predictor_runs.py run=mag|gapbulk [iters=60] ...
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _load_demo():
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "rl_demo", os.path.join(here, "rl_demo.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def summarize(run_dir: str, out_path: str, extra: dict) -> dict:
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(run_dir, "metrics.csv"))
+    rewards = df["reward mean"].dropna().to_numpy()
+    first = float(np.mean(rewards[:5]))
+    last = float(np.mean(rewards[-5:]))
+    summary = dict(
+        iterations=len(rewards),
+        reward_first5_mean=round(first, 4),
+        reward_last5_mean=round(last, 4),
+        improvement=round(last - first, 4),
+        **extra,
+        reward_curve=[round(float(r), 4) for r in rewards],
+    )
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print("[rl_predictor] " + json.dumps(
+        {k: v for k, v in summary.items() if k != "reward_curve"}
+    ))
+    return summary
+
+
+def main(argv: list[str]) -> None:
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    run = kv.get("run", "mag")
+    out_dir = os.path.abspath(kv.get("out", "experiments/results"))
+    iters = int(kv.get("iters", 60))
+    timesteps = int(kv.get("timesteps", 100))
+    batch = int(kv.get("batch", 128))
+    os.makedirs(out_dir, exist_ok=True)
+
+    demo = _load_demo()
+    data_path = os.path.join(out_dir, "dataset.extxyz")
+    if not os.path.exists(data_path):
+        demo.make_dataset(data_path)
+
+    if run == "mag":
+        family, reward, expname = "mattergen", "magnetic_density", "rl_mag_density"
+        ckpt_dir = os.path.join(out_dir, "pretrained_mattergen")
+        if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
+            demo.pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
+        filter_args = ["sample_cfg.filter=null"]
+    elif run == "gapbulk":
+        family, reward, expname = "diffcsp", "gap_bulk", "rl_gap_bulk"
+        ckpt_dir = os.path.join(out_dir, "pretrained")
+        if not os.path.exists(os.path.join(ckpt_dir, "state_dict.npz")):
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            spec = importlib.util.spec_from_file_location(
+                "pretrain", os.path.join(repo, "tools", "pretrain.py")
+            )
+            pretrain = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(pretrain)
+            pretrain.main(
+                [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
+                 "batch_size=128", "max_atoms=8", "lr=1.5e-3",
+                 "model.model_cfg.hidden_dim=128", "model.model_cfg.num_layers=4",
+                 "model.model_cfg.time_dim=128",
+                 f"model.model_cfg.timesteps={timesteps}"]
+            )
+        # config 4 runs the FULL loop: OptFilter metrics + LTM diversity
+        # filter stay on (defaults in configs/base.yaml + mat_invent.yaml)
+        filter_args = ["sample_cfg.filter.relax=false"]
+    else:
+        raise SystemExit(f"unknown run={run}")
+
+    import main as cli
+
+    cwd = os.getcwd()
+    try:
+        cli.main(
+            [
+                f"results_dir={out_dir}", f"expname={expname}", "seed=0",
+                f"rl_epoch={iters}", "eval_size=16",
+                f"reward={reward}", "logger=csv", f"model={family}",
+                f"model.model_path={ckpt_dir}",
+                "+model.config_overrides.sample_clip=30.0",
+                f"model.sample_cfg.batch_size={batch}",
+                "model.sample_cfg.max_atoms=8",
+                f"model.finetune_cfg.timesteps={timesteps}",
+                "pipeline.finetune_cfg.accum_steps=25",
+                "pipeline.finetune_cfg.epochs=3",
+                "pipeline.finetune_cfg.sigma=0.1",
+                "model.finetune_cfg.lr=0.0001",
+                f"pipeline.save_freq={iters}",
+            ]
+            + filter_args
+        )
+    finally:
+        os.chdir(cwd)
+
+    summarize(
+        os.path.join(out_dir, expname),
+        os.path.join(out_dir, f"{expname}_summary.json"),
+        dict(run=run, family=family, reward=reward, timesteps=timesteps,
+             batch=batch),
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

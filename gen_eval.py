@@ -8,7 +8,14 @@ and write metrics.json.
 
 Usage:
     python gen_eval.py model=diffcsp model.model_path=exp_res/run/models/final \
-        output_dir=gen_out batch_size=32 num_batches=32 [reference_path=...]
+        output_dir=gen_out batch_size=32 num_batches=32 \
+        [reference_path=...] [reference_energies=...] [relax=true]
+
+Stability/SUN: when ``reference_energies`` (formula -> formation energy
+eV/atom, tools/make_reference_dataset.py) is given, generated structures are
+optionally SoftSphere-relaxed, scored with the same analytic formation-energy
+model that built the hull (chem/proxy_labels — one consistent energy scale),
+and frac_stable / frac_sun are reported alongside validity/unique/novel.
 """
 from __future__ import annotations
 
@@ -31,6 +38,8 @@ def main(argv: list[str]) -> None:
     batch_size = int(kv.pop("batch_size", 32))
     num_batches = int(kv.pop("num_batches", 32))
     reference_path = kv.pop("reference_path", None)
+    reference_energies = kv.pop("reference_energies", None)
+    relax = kv.pop("relax", "false").lower() in ("1", "true", "yes")
     if kv:
         raise ValueError(f"unknown arguments: {sorted(kv)}")
 
@@ -74,14 +83,29 @@ def main(argv: list[str]) -> None:
     # SUN-style evaluation
     from matinvent_tpu.pipeline.filters import OptEval, ReferenceDataset
 
-    reference = ReferenceDataset()
-    if reference_path:
-        from matinvent_tpu.chem.structure import read_extxyz
+    reference = ReferenceDataset.from_files(reference_path, reference_energies)
 
-        reference = ReferenceDataset(structures=read_extxyz(reference_path))
+    energies = None
+    if reference.hull is not None:
+        # energies on the hull's own scale: optional SoftSphere relax, then
+        # the analytic formation-energy model x num_atoms (stable_mask takes
+        # totals)
+        import numpy as np
+
+        from matinvent_tpu.chem.proxy_labels import formation_energy_ev_per_atom
+
+        if relax:
+            from matinvent_tpu.chem.relax import SoftSphereRelaxer
+
+            logging.info("relaxing generated structures (SoftSphere) ...")
+            all_strucs, _ = SoftSphereRelaxer()(all_strucs)
+        energies = [
+            formation_energy_ev_per_atom(s) * s.num_atoms for s in all_strucs
+        ]
+        energies = [e if np.isfinite(e) else None for e in energies]
 
     evaluator = OptEval(relax=False, reference=reference)
-    metrics, _ = evaluator(all_strucs)
+    metrics, _ = evaluator(all_strucs, energies=energies)
     metrics.update(
         num_generated=len(all_strucs),
         generation_time_s=round(gen_time, 2),

@@ -319,6 +319,150 @@ class MatterGenDiffusion:
             lambda c_, u: (1.0 + guidance) * c_ - guidance * u, cond_preds, uncond_preds
         )
 
+    def _sample_init(self, key, num_atoms, A: int, fixed_types):
+        """Prior draw for one (sub-)batch: state, mask, sigma_lim, scan key."""
+        B = num_atoms.shape[0]
+        mask = jnp.arange(A)[None, :] < num_atoms[:, None]
+        k_cell, k_pos, k_type, k_scan = jax.random.split(key, 4)
+        sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
+        cell = self.cell_sde.prior_sample(k_cell, (B, 3, 3), num_atoms)
+        pos = self.coord_ve.prior_sample(k_pos, (B, A, 3))
+        if fixed_types is not None:
+            types = jnp.clip(fixed_types - 1, 0, self.d3pm.num_classes - 1)
+        else:
+            types = self.d3pm.prior_sample(k_type, (B, A))
+        return (cell, pos, types), mask, sigma_lim, k_scan
+
+    def _step_tables(self) -> dict:
+        """Per-step scalar/embedding tables, precomputed OUTSIDE the scan.
+
+        Every quantity here depends only on the (static) time grid: hoisting
+        them replaces per-step transcendental chains and dozens of tiny
+        fusion regions inside the scan body with single gathers — this is
+        what keeps the fixed per-step cost low enough for the multi-bucket
+        fused scan (sample_bucketed) to pay off."""
+        c = self.config
+        N = c.timesteps
+        grid = self.time_grid()  # [N] descending
+        t_prev = jnp.maximum(grid - 1.0 / N, 0.0)
+        last = jnp.arange(N) == (N - 1)
+        nz = jnp.where(last, 0.0, 1.0)
+        time_emb = sinusoidal_time_embedding(grid * N, c.time_dim)  # [N, D]
+        sigma_now = self.coord_ve.sigma(grid)
+        sigma_prev = jnp.where(last, 0.0, self.coord_ve.sigma(t_prev))
+        abar_now = jnp.exp(-self.cell_sde._B(grid))
+        abar_prev = jnp.exp(-self.cell_sde._B(t_prev))
+        alpha_i = abar_now / abar_prev
+        beta_i = 1.0 - alpha_i
+        post_std = jnp.sqrt(
+            jnp.maximum(
+                beta_i * (1.0 - abar_prev) / jnp.maximum(1.0 - abar_now, 1e-12),
+                0.0,
+            )
+        )
+        p_step = sigma_now**2 - sigma_prev**2
+        p_std = jnp.sqrt(
+            jnp.maximum(sigma_prev**2 * p_step, 0.0)
+            / jnp.maximum(sigma_now**2, 1e-12)
+        )
+        corr_step = (c.corrector_snr * sigma_now) ** 2 * 2.0
+        return dict(
+            t=grid, nz=nz, time_emb=time_emb,
+            inv_sigma=1.0 / jnp.maximum(sigma_now, 1e-8),
+            eps_coef=beta_i / jnp.sqrt(1.0 - abar_now),
+            inv_sqrt_alpha=1.0 / jnp.sqrt(alpha_i),
+            post_std=post_std, p_step=p_step, p_std=p_std,
+            corr_step=corr_step, corr_noise=jnp.sqrt(2.0 * corr_step),
+        )
+
+    def _sample_step(
+        self, params, carry, i, *, num_atoms, mask, sigma_lim, k_scan,
+        conditions, guidance, fixed_types, record_traj, tables,
+    ):
+        """One predictor-corrector update of one (sub-)batch at grid step i."""
+        c = self.config
+        N = c.timesteps
+        B = num_atoms.shape[0]
+        tb = {k: v[i] for k, v in tables.items()}
+
+        def net_preds(cell_t, pos_t, types_t):
+            t = jnp.full((B,), tb["t"])
+            time_emb = jnp.broadcast_to(tb["time_emb"][None, :], (B, c.time_dim))
+            noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
+            return (
+                self._guided_preds(params, noised, num_atoms, mask, conditions, guidance),
+                t,
+            )
+
+        cell_t, pos_t, types_t = carry
+        last = i == (N - 1)
+
+        ki = jax.random.fold_in(k_scan, i)
+        kc, kp, kt_, kcorr = jax.random.split(ki, 4)
+        nz = tb["nz"]
+
+        # ---- corrector: Langevin on coords (snr-scaled)
+        def corrector(state, kc_i):
+            pos_c = state
+            preds, _ = net_preds(cell_t, pos_c, types_t)
+            score = preds["pos"] * tb["inv_sigma"]
+            noise = nz * jax.random.normal(kc_i, pos_c.shape)
+            # reference sign convention: pred approximates +dlogp-sum form
+            pos_c = pos_c - tb["corr_step"] * score + tb["corr_noise"] * noise
+            return pos_c
+
+        for ci in range(c.n_corrector):
+            pos_t = corrector(pos_t, jax.random.fold_in(kcorr, ci))
+
+        # ---- predictor
+        preds, t_vec = net_preds(cell_t, pos_t, types_t)
+
+        # cell: VP ancestral step in sigma_lim-normalized space
+        cell_n = cell_t / sigma_lim
+        mean_n = (cell_n - tb["eps_coef"] * preds["cell"]) * tb["inv_sqrt_alpha"]
+        cell_next = sigma_lim * (
+            mean_n + nz * tb["post_std"] * jax.random.normal(kc, cell_n.shape)
+        )
+        if c.sample_clip is not None:
+            cell_next = jnp.clip(cell_next, -c.sample_clip, c.sample_clip)
+
+        # coords: VE ancestral (sigma^2 difference) with sigma-scaled score
+        score = preds["pos"] * tb["inv_sigma"]
+        pos_next = (
+            pos_t - tb["p_step"] * score
+            + nz * tb["p_std"] * jax.random.normal(kp, pos_t.shape)
+        ) % 1.0
+
+        # types: D3PM ancestral from the posterior (held fixed in CSP mode)
+        if fixed_types is None:
+            post_logits = self.d3pm.posterior_logits(
+                types_t, preds["atomic_numbers"], t_vec
+            )
+            types_next = jax.random.categorical(kt_, post_logits)
+            types_next = jnp.where(
+                last, jnp.argmax(post_logits, axis=-1), types_next
+            )
+        else:
+            types_next = types_t
+
+        ys = None
+        if record_traj:
+            ys = dict(cell=cell_next, pos=pos_next, types=types_next)
+        return (cell_next, pos_next, types_next), ys
+
+    def _finalize(self, state, mask, num_atoms) -> CrystalBatch:
+        cell, pos, types = state
+        # D3PM classes are 0-based; MASK (absorbing) falls outside 1..K and is
+        # clamped to class 0 = padding-invalid, filtered downstream.
+        atom_types = jnp.where(types < self.d3pm.num_classes, types + 1, 0)
+        atom_types = jnp.where(mask, atom_types, 0).astype(jnp.int32)
+        return CrystalBatch(
+            atom_types=atom_types,
+            frac_coords=pos % 1.0,
+            lattice=cell,
+            num_atoms=num_atoms,
+        )
+
     @partial(
         jax.jit,
         static_argnames=("self", "max_atoms", "guidance", "record_traj"),
@@ -340,125 +484,79 @@ class MatterGenDiffusion:
         structure prediction — atom types are held fixed through the whole
         chain (reference CSP mode, models/mattergen/sample.py:160-177) and
         only cell/coords diffuse."""
-        c = self.config
-        N = c.timesteps
-        B = num_atoms.shape[0]
         A = int(max_atoms) if max_atoms is not None else 20
-        mask = jnp.arange(A)[None, :] < num_atoms[:, None]
-
-        k_cell, k_pos, k_type, k_scan = jax.random.split(key, 4)
-        sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
-        cell = self.cell_sde.prior_sample(k_cell, (B, 3, 3), num_atoms)
-        pos = self.coord_ve.prior_sample(k_pos, (B, A, 3))
-        if fixed_types is not None:
-            types = jnp.clip(fixed_types - 1, 0, self.d3pm.num_classes - 1)
-        else:
-            types = self.d3pm.prior_sample(k_type, (B, A))
-
-        grid = self.time_grid()
-        dt = 1.0 / N
-
-        def net_preds(i, cell_t, pos_t, types_t):
-            t = jnp.full((B,), grid[i])
-            time_emb = sinusoidal_time_embedding(t * N, c.time_dim)
-            noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
-            return (
-                self._guided_preds(params, noised, num_atoms, mask, conditions, guidance),
-                t,
-            )
+        state, mask, sigma_lim, k_scan = self._sample_init(
+            key, num_atoms, A, fixed_types
+        )
+        tables = self._step_tables()
 
         def step(carry, i):
-            cell_t, pos_t, types_t = carry
-            t_now = grid[i]
-            t_prev = jnp.maximum(t_now - dt, 0.0)
-            last = i == (N - 1)
-
-            ki = jax.random.fold_in(k_scan, i)
-            kc, kp, kt_, kcorr = jax.random.split(ki, 4)
-            nz = jnp.where(last, 0.0, 1.0)
-
-            # ---- corrector: Langevin on coords (snr-scaled)
-            sigma_now = self.coord_ve.sigma(jnp.full((B,), t_now))[:, None, None]
-
-            def corrector(state, kc_i):
-                pos_c = state
-                preds, _ = net_preds(i, cell_t, pos_c, types_t)
-                score = preds["pos"] / jnp.maximum(sigma_now, 1e-8)
-                step_size = (c.corrector_snr * sigma_now) ** 2 * 2.0
-                noise = nz * jax.random.normal(kc_i, pos_c.shape)
-                # reference sign convention: pred approximates +dlogp-sum form
-                pos_c = pos_c - step_size * score + jnp.sqrt(2.0 * step_size) * noise
-                return pos_c
-
-            for ci in range(c.n_corrector):
-                pos_t = corrector(pos_t, jax.random.fold_in(kcorr, ci))
-
-            # ---- predictor
-            preds, t_vec = net_preds(i, cell_t, pos_t, types_t)
-
-            # cell: VP ancestral step in sigma_lim-normalized space
-            Bt_now = self.cell_sde._B(t_now)
-            Bt_prev = self.cell_sde._B(t_prev)
-            abar_now = jnp.exp(-Bt_now)
-            abar_prev = jnp.exp(-Bt_prev)
-            alpha_i = abar_now / abar_prev
-            beta_i = 1.0 - alpha_i
-            cell_n = cell_t / sigma_lim
-            eps_hat = preds["cell"]
-            mean_n = (cell_n - beta_i / jnp.sqrt(1.0 - abar_now) * eps_hat) / jnp.sqrt(
-                alpha_i
+            return self._sample_step(
+                params, carry, i, num_atoms=num_atoms, mask=mask,
+                sigma_lim=sigma_lim, k_scan=k_scan, conditions=conditions,
+                guidance=guidance, fixed_types=fixed_types,
+                record_traj=record_traj, tables=tables,
             )
-            post_var = beta_i * (1.0 - abar_prev) / jnp.maximum(1.0 - abar_now, 1e-12)
-            cell_next = sigma_lim * (
-                mean_n
-                + nz * jnp.sqrt(jnp.maximum(post_var, 0.0))
-                * jax.random.normal(kc, cell_n.shape)
-            )
-            if c.sample_clip is not None:
-                cell_next = jnp.clip(cell_next, -c.sample_clip, c.sample_clip)
 
-            # coords: VE ancestral (sigma^2 difference) with sigma-scaled score
-            sigma_prev = self.coord_ve.sigma(jnp.full((B,), t_prev))[:, None, None]
-            sigma_prev = jnp.where(last, 0.0, sigma_prev)
-            score = preds["pos"] / jnp.maximum(sigma_now, 1e-8)
-            p_step = sigma_now**2 - sigma_prev**2
-            p_std = jnp.sqrt(
-                jnp.maximum(sigma_prev**2 * p_step, 0.0)
-                / jnp.maximum(sigma_now**2, 1e-12)
-            )
-            pos_next = (
-                pos_t - p_step * score + nz * p_std * jax.random.normal(kp, pos_t.shape)
-            ) % 1.0
+        state, traj = jax.lax.scan(step, state, jnp.arange(self.config.timesteps))
+        return self._finalize(state, mask, num_atoms), traj
 
-            # types: D3PM ancestral from the posterior (held fixed in CSP mode)
-            if fixed_types is None:
-                post_logits = self.d3pm.posterior_logits(
-                    types_t, preds["atomic_numbers"], t_vec
+    @partial(jax.jit, static_argnames=("self", "bucket_max_atoms", "guidance"))
+    def sample_bucketed(
+        self,
+        params,
+        key: jax.Array,
+        num_atoms_buckets: tuple,
+        bucket_max_atoms: tuple,
+        conditions_buckets: tuple | None = None,
+        guidance: float = 0.0,
+    ):
+        """Size-bucketed sampling: all buckets advance inside ONE scan.
+
+        TPU-first optimization with no reference counterpart: dense-padded
+        edges cost O(A^2) per crystal, but most draws from the num-atoms
+        histograms are far below the 20-atom cap (mp_20: E[n^2] ~ 138 vs
+        400). Splitting the batch into per-size sub-batches, each padded to
+        its own bucket cap, removes most of that padding work while paying
+        the scan's fixed per-step cost once. Semantically identical
+        per-crystal to ``sample`` (same SDE steps; RNG streams differ).
+
+        Args:
+            num_atoms_buckets: tuple of [B_i] int arrays (B_i static).
+            bucket_max_atoms: matching tuple of per-bucket atom caps.
+            conditions_buckets: optional tuple of per-bucket condition dicts.
+        Returns: list of CrystalBatch, one per bucket.
+        """
+        n_b = len(num_atoms_buckets)
+        conds = conditions_buckets or (None,) * n_b
+        inits = []
+        for bi in range(n_b):
+            inits.append(
+                self._sample_init(
+                    jax.random.fold_in(key, bi),
+                    num_atoms_buckets[bi],
+                    int(bucket_max_atoms[bi]),
+                    None,
                 )
-                types_next = jax.random.categorical(kt_, post_logits)
-                types_next = jnp.where(
-                    last, jnp.argmax(post_logits, axis=-1), types_next
+            )
+        states = tuple(it[0] for it in inits)
+        tables = self._step_tables()
+
+        def step(carry, i):
+            new = []
+            for bi in range(n_b):
+                st, _ = self._sample_step(
+                    params, carry[bi], i,
+                    num_atoms=num_atoms_buckets[bi], mask=inits[bi][1],
+                    sigma_lim=inits[bi][2], k_scan=inits[bi][3],
+                    conditions=conds[bi], guidance=guidance,
+                    fixed_types=None, record_traj=False, tables=tables,
                 )
-            else:
-                types_next = types_t
+                new.append(st)
+            return tuple(new), None
 
-            ys = None
-            if record_traj:
-                ys = dict(cell=cell_next, pos=pos_next, types=types_next)
-            return (cell_next, pos_next, types_next), ys
-
-        (cell, pos, types), traj = jax.lax.scan(
-            step, (cell, pos, types), jnp.arange(N)
-        )
-
-        # D3PM classes are 0-based; MASK (absorbing) falls outside 1..K and is
-        # clamped to class 0 = padding-invalid, filtered downstream.
-        atom_types = jnp.where(types < self.d3pm.num_classes, types + 1, 0)
-        atom_types = jnp.where(mask, atom_types, 0).astype(jnp.int32)
-        final = CrystalBatch(
-            atom_types=atom_types,
-            frac_coords=pos % 1.0,
-            lattice=cell,
-            num_atoms=num_atoms,
-        )
-        return final, traj
+        states, _ = jax.lax.scan(step, states, jnp.arange(self.config.timesteps))
+        return [
+            self._finalize(states[bi], inits[bi][1], num_atoms_buckets[bi])
+            for bi in range(n_b)
+        ]

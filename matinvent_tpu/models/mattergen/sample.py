@@ -23,10 +23,41 @@ from matinvent_tpu.models.sample import ATOM_DIST, batch_to_structures
 
 # The reference's default MatterGen num-atoms distribution is ALEX_MP_20
 # (models/mattergen/sample.py:132). Its exact histogram ships inside the
-# external mattergen wheel; mp_20 is the closest in-repo distribution and is
-# used as the stand-in (both cap at 20 atoms).
+# external mattergen wheel (mattergen.common.data.num_atoms_distribution) —
+# not obtainable in this offline environment. mp_20 is the closest in-repo
+# distribution and is the documented stand-in (both cap at 20 atoms); the
+# exact table can be dropped in via register_num_atoms_distribution /
+# load_num_atoms_distributions once available.
 NUM_ATOMS_DISTRIBUTIONS = dict(ATOM_DIST)
 NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = ATOM_DIST["mp_20"]
+
+
+def register_num_atoms_distribution(name: str, hist) -> None:
+    """Register/override a num-atoms histogram.
+
+    ``hist`` is either a sequence of probabilities indexed by atom count
+    (index 0 = count 0) or a {count: probability} mapping (the format the
+    external mattergen wheel uses)."""
+    if isinstance(hist, dict):
+        arr = np.zeros(max(int(k) for k in hist) + 1)
+        for k, v in hist.items():
+            arr[int(k)] = float(v)
+    else:
+        arr = np.asarray(hist, dtype=float)
+    if arr.sum() <= 0:
+        raise ValueError(f"histogram {name} has no mass")
+    NUM_ATOMS_DISTRIBUTIONS[name] = arr / arr.sum()
+
+
+def load_num_atoms_distributions(path: str) -> None:
+    """Load histograms from a JSON file {name: hist} (see
+    register_num_atoms_distribution for accepted hist formats)."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    for name, hist in data.items():
+        register_num_atoms_distribution(name, hist)
 
 
 @dataclass
@@ -35,7 +66,15 @@ class MatterGenSampler:
     num_batches: int | None = None
     target_compositions_dict: list[dict[str, float]] | None = None
     num_atoms_distribution: str = "ALEX_MP_20"
+    # optional JSON file of {name: histogram} loaded before resolution — the
+    # hook for dropping in the exact ALEX_MP_20 table from the mattergen wheel
+    num_atoms_distribution_file: str | None = None
     max_atoms: int = 20
+    # number of size buckets for the fused bucketed sampler (TPU-first
+    # optimization, MatterGenDiffusion.sample_bucketed): 1 disables. Dense
+    # edge work is O(max_atoms^2) per crystal; splitting the batch by sorted
+    # size removes most padding work. Ignored in CSP/trajectory modes.
+    size_buckets: int = 1
 
     # conditional generation
     diffusion_guidance_factor: float = 0.0
@@ -51,6 +90,8 @@ class MatterGenSampler:
     last_trajectory: Any = None
 
     def __post_init__(self):
+        if self.num_atoms_distribution_file:
+            load_num_atoms_distributions(self.num_atoms_distribution_file)
         assert self.num_atoms_distribution in NUM_ATOMS_DISTRIBUTIONS, (
             f"num_atoms_distribution must be one of "
             f"{list(NUM_ATOMS_DISTRIBUTIONS)}, got {self.num_atoms_distribution}"
@@ -119,6 +160,15 @@ class MatterGenSampler:
             }
 
         self._key, sk = jax.random.split(self._key)
+        if (
+            self.size_buckets > 1
+            and fixed_types is None
+            and not self.record_trajectories
+            and len(num_atoms) >= 2 * self.size_buckets
+        ):
+            return self._launch_bucketed(
+                diffusion, params, num_atoms, conditions, sk
+            )
         final, traj = diffusion.sample(
             params,
             sk,
@@ -132,6 +182,60 @@ class MatterGenSampler:
         if self.record_trajectories:
             self.last_trajectory = traj
         return final
+
+    def _launch_bucketed(
+        self, diffusion, params, num_atoms: np.ndarray, conditions, key
+    ) -> CrystalBatch:
+        """Sorted-split bucketed sampling with a stable compile key.
+
+        The batch is sorted by atom count and cut into ``size_buckets``
+        equal-count groups (deterministic row counts); each group's atom cap
+        is its max size rounded up to a multiple of 4 (coarse grid, so the
+        jit cache stays small across RL iterations). Results are re-padded
+        to ``max_atoms`` and unsorted back to draw order on device.
+        """
+        nb = self.size_buckets
+        order = np.argsort(num_atoms, kind="stable")
+        cuts = np.array_split(order, nb)
+        na_buckets, caps, cond_buckets = [], [], []
+        for idx in cuts:
+            na = num_atoms[idx]
+            cap = min(int(np.ceil(max(int(na.max()), 1) / 4) * 4), self.max_atoms)
+            na_buckets.append(jnp.asarray(na))
+            caps.append(cap)
+            cond_buckets.append(
+                None
+                if conditions is None
+                else {k: v[jnp.asarray(idx)] for k, v in conditions.items()}
+            )
+        outs = diffusion.sample_bucketed(
+            params,
+            key,
+            tuple(na_buckets),
+            tuple(caps),
+            conditions_buckets=tuple(cond_buckets),
+            guidance=float(self.diffusion_guidance_factor),
+        )
+        # re-pad every bucket to the global cap and restore draw order
+        A = self.max_atoms
+        types = jnp.concatenate(
+            [jnp.pad(o.atom_types, ((0, 0), (0, A - o.atom_types.shape[1])))
+             for o in outs]
+        )
+        coords = jnp.concatenate(
+            [jnp.pad(o.frac_coords,
+                     ((0, 0), (0, A - o.frac_coords.shape[1]), (0, 0)))
+             for o in outs]
+        )
+        cells = jnp.concatenate([o.lattice for o in outs])
+        nas = jnp.concatenate([o.num_atoms for o in outs])
+        inv = jnp.asarray(np.argsort(np.concatenate(cuts), kind="stable"))
+        return CrystalBatch(
+            atom_types=types[inv],
+            frac_coords=coords[inv],
+            lattice=cells[inv],
+            num_atoms=nas[inv],
+        )
 
     def generate(self, model, **kwargs) -> Tuple[List[dict], List[Structure]]:
         data, strucs = batch_to_structures(self.launch(model, **kwargs))

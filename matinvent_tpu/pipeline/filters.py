@@ -20,7 +20,7 @@ from typing import Callable, List, Literal, Sequence
 
 import numpy as np
 
-from matinvent_tpu.chem.matcher import StructureMatcher
+from matinvent_tpu.chem.matcher import OrderedStructureMatcher, StructureMatcher
 from matinvent_tpu.chem.structure import Structure
 from matinvent_tpu.chem.validity import cell_size_ok, smact_valid, structure_validity
 
@@ -134,7 +134,15 @@ class OptFilter:
         self.relaxer = relaxer
         self.reference = reference or ReferenceDataset()
         self.stability_fn = stability_fn
-        self.matcher = StructureMatcher()
+        # "ordered" -> pymatgen-equivalent exact geometric matching (metrics
+        # comparable to reference-published numbers); "disordered" -> the
+        # fast fingerprint matcher (documented approximation of mattergen's
+        # DefaultDisorderedStructureMatcher, adequate for RL dedup)
+        self.matcher = (
+            OrderedStructureMatcher()
+            if structure_matcher == "ordered"
+            else StructureMatcher()
+        )
         self.num_workers = num_workers
         self.ehull_threshold = ehull_threshold
         # synthesizability screen (the reference lists the metric but leaves

@@ -135,6 +135,76 @@ class TestMatcher:
         np.testing.assert_array_equal(novel, [False, True])
 
 
+class TestExactMatcher:
+    """pymatgen-default-equivalent geometric fit (chem/matcher.py)."""
+
+    def setup_method(self):
+        from matinvent_tpu.chem.matcher import ExactStructureMatcher
+
+        self.m = ExactStructureMatcher()
+        self.s1 = Structure.from_parameters(
+            [4.0, 4.2, 4.4], [88, 92, 90], [11, 17, 11, 17],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5], [0.5, 0, 0], [0, 0.5, 0.5]]),
+        )
+
+    def test_translation_permutation_rebasis_invariance(self):
+        f2 = (np.asarray(self.s1.frac_coords) + [0.13, 0.71, 0.29]) % 1.0
+        M = np.array([[1, 1, 0], [0, 1, 0], [0, 0, 1]])
+        perm = [2, 3, 0, 1]
+        s2 = Structure(
+            species=np.asarray(self.s1.species)[perm],
+            frac_coords=(f2 @ np.linalg.inv(M))[perm] % 1.0,
+            lattice=M @ self.s1.lattice,
+        )
+        assert self.m.fit(self.s1, s2)
+
+    def test_cartesian_rotation_invariance(self):
+        # same crystal, cell rows rotated in Cartesian space: matrices are
+        # incomparable, only the metric tensor is — regression for the
+        # averaged-lattice bug
+        th = 0.7
+        R = np.array(
+            [
+                [np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1],
+            ]
+        )
+        s6 = Structure(
+            species=self.s1.species,
+            frac_coords=self.s1.frac_coords,
+            lattice=self.s1.lattice @ R.T,
+        )
+        assert self.m.fit(self.s1, s6)
+
+    def test_jitter_within_stol_matches(self):
+        rng = np.random.default_rng(0)
+        f3 = (np.asarray(self.s1.frac_coords) + rng.normal(0, 0.01, (4, 3))) % 1.0
+        s3 = Structure(
+            species=self.s1.species, frac_coords=f3, lattice=self.s1.lattice * 1.02
+        )
+        assert self.m.fit(self.s1, s3)
+
+    def test_different_arrangement_rejected(self):
+        s4 = Structure.from_parameters(
+            [4.0, 4.2, 4.4], [88, 92, 90], [11, 17, 11, 17],
+            np.array(
+                [[0, 0, 0], [0.5, 0.5, 0.5], [0.25, 0.7, 0.1], [0.6, 0.15, 0.8]]
+            ),
+        )
+        assert not self.m.fit(self.s1, s4)
+
+    def test_ordered_matcher_list_api(self):
+        from matinvent_tpu.chem.matcher import OrderedStructureMatcher
+
+        om = OrderedStructureMatcher()
+        a = make_nacl()
+        mask = om.unique_mask([a, a])
+        np.testing.assert_array_equal(mask, [True, False])
+        novel = om.novel_mask([a], [a])
+        np.testing.assert_array_equal(novel, [False])
+
+
 class TestNiggli:
     def test_cubic_unchanged(self):
         from matinvent_tpu.chem.niggli import niggli_reduce_matrix
