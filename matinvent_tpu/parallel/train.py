@@ -147,11 +147,19 @@ class DDPOFinetuneStep:
         clip_eps: float = 0.2,
         chunk: int = 50,
         step_lr: float = 5e-6,
+        adv_norm: bool = True,
+        epochs: int = 1,
     ):
         self.diffusion = diffusion
         self.clip_eps = clip_eps
         self.chunk = chunk
         self.step_lr = step_lr
+        # standardized advantages (A - mean)/std: with rewards in [0, 1] the
+        # raw advantage magnitude is ~0.1 and the clipped objective barely
+        # moves; normalization makes the update scale reward-scale-invariant
+        self.adv_norm = adv_norm
+        # PPO passes over the same recorded trajectories per RL iteration
+        self.epochs = epochs
         self.optimizer = optax.adam(lr)
 
     @partial(jax.jit, static_argnames=("self",))
@@ -210,8 +218,12 @@ class DDPOFinetuneStep:
 
     def run(self, params, traj, num_atoms, mask, rewards, baseline=None):
         adv = rewards - (baseline if baseline is not None else jnp.mean(rewards))
+        if self.adv_norm:
+            adv = adv / (jnp.std(adv) + 1e-6)
         opt_state = self.optimizer.init(params)
-        params, opt_state, loss = self.update(
-            params, opt_state, traj, num_atoms, mask, adv
-        )
+        loss = 0.0
+        for _ in range(max(self.epochs, 1)):
+            params, opt_state, loss = self.update(
+                params, opt_state, traj, num_atoms, mask, adv
+            )
         return params, float(loss)

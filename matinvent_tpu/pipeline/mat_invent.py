@@ -102,6 +102,8 @@ class MatInvent(ReinL):
                 clip_eps=float(self.finetune_cfg.get("clip_eps", 0.2)),
                 chunk=accum if t_traj % accum == 0 else t_traj,
                 step_lr=float(step_lr),
+                adv_norm=bool(self.finetune_cfg.get("adv_norm", True)),
+                epochs=int(self.finetune_cfg.get("ddpo_epochs", 1)),
             )
 
         # async host/device overlap (SURVEY.md §7 'Host-device overlap'): when

@@ -38,24 +38,57 @@ EMB_DIM = 90
 HID_DIM = 180
 
 
+# period boundaries: max Z of each period (H..Og)
+_PERIOD_EDGES = (2, 10, 18, 36, 54, 86, 118)
+
+
 def _fallback_element_embedding(symbol: str) -> np.ndarray:
     """Deterministic 90-dim element descriptor used when no learned
-    ``element_emb.json`` is supplied: simple normalized properties expanded
-    with fixed random projections (seeded by atomic number)."""
+    ``element_emb.json`` is supplied.
+
+    Structured, not random-projected: charge balance — the dominant
+    synthesizability signal at composition level — is a function of counts x
+    allowed oxidation states, so the descriptor devotes explicit dims to an
+    oxidation-state multi-hot (-5..+8), a period one-hot, and normalized
+    scalar properties. A count-weighted mean of these stays informative for
+    the balanced/unbalanced decision the SynScore ensemble learns."""
     z = SYMBOLS.index(symbol) if symbol in SYMBOLS else 0
-    base = np.array(
+    w = ATOMIC_WEIGHTS.get(symbol, np.nan)
+    scalars = np.array(
         [
             z / 100.0,
-            ATOMIC_WEIGHTS.get(symbol, 0.0) / 250.0 if np.isfinite(
-                ATOMIC_WEIGHTS.get(symbol, np.nan)
-            ) else 0.0,
+            w / 250.0 if np.isfinite(w) else 0.0,
             ELECTRONEGATIVITY.get(symbol, 0.0) / 4.0,
             len(OXIDATION_STATES.get(symbol, [])) / 8.0,
         ]
     )
+    ox = np.zeros(14)  # oxidation states -5..+8
+    states = OXIDATION_STATES.get(symbol, ())
+    for o in states:
+        if -5 <= o <= 8:
+            ox[o + 5] = 1.0
+    ox_stats = np.array(
+        [
+            min(states) / 5.0 if states else 0.0,
+            max(states) / 8.0 if states else 0.0,
+            1.0 if any(o > 0 for o in states) else 0.0,
+            1.0 if any(o < 0 for o in states) else 0.0,
+        ]
+    )
+    period = np.zeros(7)
+    for p, edge in enumerate(_PERIOD_EDGES):
+        if z <= edge:
+            period[p] = 1.0
+            break
+    out = np.zeros(EMB_DIM)
+    feats = np.concatenate([scalars, ox, ox_stats, period])  # 29 dims
+    out[: len(feats)] = feats
+    # remaining dims: fixed projection of the structured features (seeded by
+    # atomic number) — gives bags independent views without losing signal
     rng = np.random.default_rng(z)
-    proj = rng.standard_normal((EMB_DIM, len(base))) / np.sqrt(len(base))
-    return proj @ base
+    proj = rng.standard_normal((EMB_DIM - len(feats), len(feats)))
+    out[len(feats):] = (proj @ feats) / np.sqrt(len(feats))
+    return out
 
 
 class SynScore(Calculator):
