@@ -152,3 +152,24 @@ class TestMLIPBridge:
         res = calc.calc((strucs, xyz), "t0")
         assert res.shape == (3,)
         assert np.isnan(res).all()  # fairchem/quacc absent in this env
+
+
+class TestSynScoreTrained:
+    """The shipped ensemble (weights/syn_score.npz) must load by default and
+    separate charge-balanceable from junk compositions."""
+
+    def test_default_weights_load_and_discriminate(self, tmp_path):
+        from matinvent_tpu.chem.structure import Structure
+        from matinvent_tpu.rewards.calculators.syn_score import SynScore
+
+        calc = SynScore(root_dir=str(tmp_path))
+        assert calc.trained
+        nacl = Structure.from_parameters(
+            [5.6] * 3, [90] * 3, [11, 17], [[0, 0, 0], [0.5, 0.5, 0.5]]
+        )
+        junk = Structure.from_parameters(
+            [5.0] * 3, [90] * 3, [54, 26, 79],
+            [[0, 0, 0], [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]],
+        )
+        scores = calc.calc(([nacl, junk], None))
+        assert scores[0] > 0.5 > scores[1]
