@@ -94,7 +94,10 @@ def main(argv: list[str]) -> None:
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
     family = kv.get("family", "diffcsp")
     iters = int(kv.get("iters", 40))
-    timesteps = int(kv.get("timesteps", 100))
+    # DiffCSP's discrete cosine schedule is unstable below ~200 ancestral
+    # steps (ops/schedules.py); MatterGen's continuous SDE handles short
+    # chains fine
+    timesteps = int(kv.get("timesteps", 100 if family == "mattergen" else 1000))
     epochs = int(kv.get("epochs", 3))
     accum = int(kv.get("accum", 25))
     sigma = float(kv.get("sigma", 0.1))

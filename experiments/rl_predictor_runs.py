@@ -64,7 +64,11 @@ def main(argv: list[str]) -> None:
     run = kv.get("run", "mag")
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
     iters = int(kv.get("iters", 60))
-    timesteps = int(kv.get("timesteps", 100))
+    # MatterGen (continuous VP SDE) is stable at short chains; the DiffCSP
+    # discrete cosine schedule needs T >= 200 (ops/schedules.py warning) —
+    # run it at the reference operating point T=1000
+    timesteps = int(kv.get("timesteps", 100 if run == "mag" else 1000))
+    accum = int(kv.get("accum", 25 if run == "mag" else 50))
     batch = int(kv.get("batch", 128))
     os.makedirs(out_dir, exist_ok=True)
 
@@ -116,7 +120,7 @@ def main(argv: list[str]) -> None:
                 f"model.sample_cfg.batch_size={batch}",
                 "model.sample_cfg.max_atoms=8",
                 f"model.finetune_cfg.timesteps={timesteps}",
-                "pipeline.finetune_cfg.accum_steps=25",
+                f"pipeline.finetune_cfg.accum_steps={accum}",
                 "pipeline.finetune_cfg.epochs=3",
                 "pipeline.finetune_cfg.sigma=0.1",
                 "model.finetune_cfg.lr=0.0001",

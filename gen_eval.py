@@ -40,6 +40,10 @@ def main(argv: list[str]) -> None:
     reference_path = kv.pop("reference_path", None)
     reference_energies = kv.pop("reference_energies", None)
     relax = kv.pop("relax", "false").lower() in ("1", "true", "yes")
+    # sample num-atoms from a corpus' empirical histogram (typically the
+    # model's own pretrain set) instead of a named table — avoids asking the
+    # model for cell sizes it never saw
+    num_atoms_from = kv.pop("num_atoms_from", None)
     if kv:
         raise ValueError(f"unknown arguments: {sorted(kv)}")
 
@@ -50,6 +54,17 @@ def main(argv: list[str]) -> None:
     suite = instantiate(cfg["model"])
     diffusion, params = suite.load_model()
     sampler = suite.get_sampler()
+    if num_atoms_from:
+        from matinvent_tpu.chem.structure import read_extxyz
+        from matinvent_tpu.models.sample import (
+            atom_dist_from_structures,
+            register_atom_dist,
+        )
+
+        register_atom_dist(
+            "corpus", atom_dist_from_structures(read_extxyz(num_atoms_from))
+        )
+        sampler.num_atoms_distribution = "corpus"
 
     logging.info(f"generating {batch_size * num_batches} structures ...")
     from matinvent_tpu.models.sample import batch_to_structures

@@ -53,6 +53,32 @@ def sample_num_atoms(
     return rng.choice(len(dist), size=total, p=dist).astype(np.int32)
 
 
+def register_atom_dist(name: str, hist) -> None:
+    """Register a num-atoms histogram for both sampler families.
+
+    ``hist``: probability sequence indexed by atom count. Sampling a model
+    with the histogram of ITS OWN training corpus (see
+    ``atom_dist_from_structures``) avoids asking it for cell sizes it never
+    saw — a large validity lever for small pretrain corpora."""
+    arr = np.asarray(hist, dtype=float)
+    if arr.sum() <= 0:
+        raise ValueError(f"histogram {name} has no mass")
+    ATOM_DIST[name] = arr / arr.sum()
+    # the MatterGen registry snapshots ATOM_DIST at import; keep it in sync
+    try:
+        from matinvent_tpu.models.mattergen.sample import NUM_ATOMS_DISTRIBUTIONS
+
+        NUM_ATOMS_DISTRIBUTIONS[name] = ATOM_DIST[name]
+    except ImportError:  # circular import during module init
+        pass
+
+
+def atom_dist_from_structures(structures) -> np.ndarray:
+    """Empirical num-atoms histogram of a structure list."""
+    counts = np.array([s.num_atoms for s in structures], dtype=int)
+    return np.bincount(counts, minlength=2).astype(float)
+
+
 def batch_to_structures(batch: CrystalBatch) -> Tuple[List[dict], List[Structure]]:
     """Split a padded device batch into host per-crystal dicts + Structures."""
     data_list = batch.to_lists()

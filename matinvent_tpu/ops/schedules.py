@@ -82,6 +82,24 @@ class BetaSchedule:
         sigmas[1:] = betas[1:] * (1.0 - alphas_cumprod[:-1]) / (1.0 - alphas_cumprod[1:])
         sigmas = np.sqrt(sigmas)
 
+        if betas[-1] > 0.9 and timesteps < 200:
+            # the clip-saturated cosine tail (beta_T ~ 0.9999, reference
+            # scheduler.py:16 clips identically) makes the first reverse
+            # step a ~100x error amplifier; the ancestral chain only
+            # re-contracts that amplification when enough steps remain.
+            # Measured on a trained h128/L4 model: T=100 explodes to the
+            # sample clip, T>=200 samples fine. The reference sidesteps the
+            # regime by always running T=1000 — warn instead of silently
+            # sampling garbage at reference-unsupported step counts.
+            import logging
+
+            logging.warning(
+                f"beta schedule ({scheduler_mode}, T={timesteps}) saturates "
+                f"at beta_T={float(betas[-1]):.4f}; ancestral sampling is "
+                f"numerically unstable below ~200 steps — use T >= 200 "
+                f"(reference operating point: 1000) or a linear schedule"
+            )
+
         return cls(
             timesteps=timesteps,
             betas=jnp.asarray(betas, dtype),

@@ -332,3 +332,27 @@ class TestBucketedSampling:
         )
         final = s.launch((tiny_mg, mg_params))
         assert np.isfinite(np.asarray(final.frac_coords)).all()
+
+
+class TestNumAtomsDistributionHooks:
+    def test_register_dict_format(self):
+        from matinvent_tpu.models.mattergen.sample import (
+            NUM_ATOMS_DISTRIBUTIONS,
+            register_num_atoms_distribution,
+        )
+
+        register_num_atoms_distribution("t_dict", {4: 1.0, 8: 3.0})
+        arr = NUM_ATOMS_DISTRIBUTIONS["t_dict"]
+        assert abs(arr.sum() - 1.0) < 1e-9 and arr[8] == 0.75
+
+    def test_json_file_override(self, tmp_path):
+        import json
+
+        p = tmp_path / "dists.json"
+        p.write_text(json.dumps({"ALEX_MP_20": {2: 0.25, 6: 0.75}}))
+        s = MatterGenSampler(
+            batch_size=8, num_batches=1,
+            num_atoms_distribution_file=str(p),
+        )
+        draws = s._draw_num_atoms(500)
+        assert set(np.unique(draws)) <= {2, 6}
