@@ -13,6 +13,18 @@ from __future__ import annotations
 import os
 import sys
 
+# multi-host bring-up MUST precede any backend-initializing import work:
+# with MATINVENT_COORDINATOR set (pod-slice launchers export one env per
+# process), join the jax distributed runtime before touching anything else
+if os.environ.get("MATINVENT_COORDINATOR"):
+    from matinvent_tpu.parallel.mesh import init_distributed
+
+    init_distributed(
+        coordinator_address=os.environ["MATINVENT_COORDINATOR"],
+        num_processes=int(os.environ.get("MATINVENT_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("MATINVENT_PROCESS_ID", "0")),
+    )
+
 from matinvent_tpu.pipeline.logger import setup_logging
 from matinvent_tpu.utils.config import instantiate, load_config, save_config
 

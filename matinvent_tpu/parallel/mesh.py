@@ -17,10 +17,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host bring-up (no-op when single-process)."""
-    if jax.process_count() == 1 and not kwargs:
+    """Multi-host bring-up (no-op when single-process).
+
+    Must run before ANY backend-initializing JAX call — including
+    ``jax.process_count()`` itself, which is why the kwargs check comes
+    first: with explicit coordinator kwargs we go straight to
+    ``jax.distributed.initialize`` without touching the backend.
+    """
+    if kwargs:
+        jax.distributed.initialize(**kwargs)
         return
-    jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        jax.distributed.initialize()
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
