@@ -1,0 +1,307 @@
+"""Native harmonic-phonon and elastic screening workflows on the soft-sphere
+potential.
+
+Capability counterpart of the reference's FairChem MLIP reward workers
+(/root/reference/rewards/calculators/fairchem/phonon.py:22-55 — quacc
+relax_job + phonon_flow -> heat capacity at 300 K; elastic.py:12-28 ->
+bulk modulus via elastic_tensor_flow). Those require a separate conda env
+with fairchem/quacc; this module provides an in-tree fallback built on the
+same smooth pair potential as ``chem.relax.SoftSphereRelaxer`` so the
+heat-capacity / bulk-modulus reward configs run end to end with zero
+external dependencies:
+
+* ``gamma_heat_capacity`` — relax, build a supercell, compute the Γ-point
+  dynamical matrix as the (mass-weighted) Hessian of the pair energy via
+  ``jax.hessian``, and evaluate the harmonic constant-volume heat capacity
+  C_v(T) = k_B Σ x² eˣ/(eˣ−1)², x = ħω/k_BT, in J/(g·K).
+* ``soft_sphere_bulk_modulus`` — B = V₀ d²E/dV² from the curvature of the
+  isotropic-strain energy curve, in GPa.
+
+Both are screening-grade (the pair potential is not a trained MLIP; the
+well depth is calibrated to ``depth_eV`` per bond, matching the relaxer's
+``depth_scale``), but the physics pipeline — relax → Hessian → frequencies
+→ Bose-Einstein occupation — is the real one, and the outputs rank
+structures sensibly (light elements => high C_v/gram; stiff short bonds =>
+high B). Production deployments plug the real MLIP through the same
+subprocess bridge (rewards/calculators/mlip/).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matinvent_tpu.chem.data import ATOMIC_WEIGHTS, SYMBOLS
+from matinvent_tpu.chem.relax import _COVALENT_RADII, SoftSphereRelaxer, _pair_energy
+from matinvent_tpu.chem.structure import Structure
+from matinvent_tpu.models.batch import CrystalBatch
+
+# physical constants (SI)
+_HBAR = 1.054571817e-34  # J s
+_KB = 1.380649e-23  # J / K
+_EV = 1.602176634e-19  # J
+_AMU = 1.66053906660e-27  # kg
+_EV_A2_AMU_TO_RAD2_S2 = _EV / (_AMU * 1e-20)  # (eV/Å²/amu) -> rad²/s²
+_EV_PER_A3_TO_GPA = 160.21766208
+
+_MASSES_AMU = np.array(
+    [1.0] + [ATOMIC_WEIGHTS.get(SYMBOLS[z], float("nan")) for z in range(1, 100)],
+    dtype=np.float64,
+)
+
+
+def supercell(structure: Structure, reps: tuple[int, int, int]) -> Structure:
+    """Integer replication of the cell (species/coords tiled, lattice scaled)."""
+    n1, n2, n3 = reps
+    shifts = np.array(
+        [[i, j, k] for i in range(n1) for j in range(n2) for k in range(n3)],
+        dtype=np.float64,
+    )  # [R, 3]
+    frac = (structure.frac_coords[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+    frac = frac / np.array(reps, dtype=np.float64)
+    lattice = structure.lattice * np.array(reps, dtype=np.float64)[:, None]
+    species = list(structure.species) * len(shifts)
+    return Structure(species=species, frac_coords=frac, lattice=lattice)
+
+
+def choose_reps(
+    structure: Structure, min_length: float = 8.0, max_atoms: int = 160
+) -> tuple[int, int, int]:
+    """Replicate short axes toward ``min_length`` Å under an atom budget.
+
+    The 27-offset minimum-image pair sum (chem/structure.OFFSETS_27) only sees
+    first-shell images, so the Γ-point-of-supercell approximation needs each
+    axis longer than twice the interaction cutoff; grow the shortest axes
+    first, reference-style phonopy supercell heuristics."""
+    reps = [1, 1, 1]
+    lengths = structure.lengths.astype(float)
+    while True:
+        grown = False
+        order = np.argsort([lengths[i] * reps[i] for i in range(3)])
+        for ax in order:
+            new = reps.copy()
+            new[ax] += 1
+            if (
+                lengths[ax] * reps[ax] < min_length
+                and structure.num_atoms * int(np.prod(new)) <= max_atoms
+            ):
+                reps = new
+                grown = True
+                break
+        if not grown:
+            return tuple(reps)
+
+
+@lru_cache(maxsize=32)
+def _hessian_fn(num_atoms: int):
+    """Jitted Hessian of the pair energy w.r.t. cartesian displacements,
+    cached per supercell size (static shapes => one compile per size)."""
+
+    radii = jnp.asarray(_COVALENT_RADII)
+
+    @jax.jit
+    def hess(frac0, lattice, atom_types):
+        inv_lat = jnp.linalg.inv(lattice)
+        cart0 = frac0 @ lattice
+
+        def energy(u_flat):
+            cart = cart0 + u_flat.reshape(num_atoms, 3)
+            batch = CrystalBatch(
+                atom_types=atom_types[None],
+                frac_coords=(cart @ inv_lat)[None],
+                lattice=lattice[None],
+                num_atoms=jnp.array([num_atoms], jnp.int32),
+            )
+            return _pair_energy(batch, radii)[0]
+
+        return jax.hessian(energy)(jnp.zeros(3 * num_atoms))
+
+    return hess
+
+
+def gamma_frequencies(
+    structure: Structure, depth_eV: float = 0.3
+) -> np.ndarray:
+    """Γ-point angular frequencies (rad/s) of the structure as given.
+
+    Mass-weighted Hessian eigenvalues; negative curvatures (unstable modes)
+    come back as negative ω² and are returned as negative frequencies so the
+    caller can decide how to treat them."""
+    A = structure.num_atoms
+    hess = _hessian_fn(A)(
+        jnp.asarray(structure.frac_coords % 1.0, jnp.float32),
+        jnp.asarray(structure.lattice, jnp.float32),
+        jnp.asarray(structure.species, jnp.int32),
+    )
+    h = np.asarray(hess, dtype=np.float64) * depth_eV  # eV / Å²
+    m = np.repeat(_MASSES_AMU[np.asarray(structure.species)], 3)  # [3A] amu
+    dyn = h / np.sqrt(m[:, None] * m[None, :])
+    w2 = np.linalg.eigvalsh((dyn + dyn.T) / 2.0) * _EV_A2_AMU_TO_RAD2_S2
+    return np.sign(w2) * np.sqrt(np.abs(w2))
+
+
+def harmonic_heat_capacity(
+    omega: np.ndarray, mass_amu: float, temperature: float = 300.0
+) -> float:
+    """C_v from harmonic frequencies, J/(g·K). Drops non-positive modes
+    (3 acoustic translations at Γ plus any imaginary ones)."""
+    w = omega[omega > 1e10]  # rad/s; ~0.0016 THz floor
+    if w.size == 0:
+        return float("nan")
+    x = _HBAR * w / (_KB * temperature)
+    cv = _KB * np.sum(x**2 * np.exp(x) / np.expm1(x) ** 2)  # J/K
+    mass_g = mass_amu * _AMU * 1e3
+    return float(cv / mass_g)
+
+
+def _equilibrate(
+    structures: Sequence[Structure], relaxer: SoftSphereRelaxer | None
+) -> List[Structure]:
+    """Coordinate relaxation at fixed cell, then a 1-D isotropic-scale
+    optimization to the potential's own volume minimum.
+
+    Full joint cell+coord descent on the pair potential over-binds (second
+    shells pull the cell into collapse) and a half-relaxed cell sits at a
+    saddle (imaginary Γ modes). Fixing the cell shape and line-searching one
+    scale lands every structure at a genuine minimum of the screening
+    potential — d²E/dV² > 0 by construction — which is what the curvature
+    workflows need."""
+    relaxer = relaxer or SoftSphereRelaxer(
+        max_atoms=max(max(s.num_atoms for s in structures), 1), lr_cell=0.0
+    )
+    relaxed, _ = relaxer(list(structures))
+    out = []
+    # wide enough that generated cells at ~2x over/under the potential's
+    # preferred volume still bracket a minimum; among the grid's local
+    # minima the one NEAREST s=1 is chosen — the generated cell is near the
+    # data manifold, and the pair potential's deep small-volume collapse
+    # basin is an artifact to be avoided, not found
+    scales = np.linspace(0.35, 2.2, 75)
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    for s in relaxed:
+        try:
+            fn = _strain_energy_fn(s.num_atoms)
+            args = (
+                jnp.asarray(s.frac_coords % 1.0, jnp.float32),
+                jnp.asarray(s.lattice, jnp.float32),
+                jnp.asarray(s.species, jnp.int32),
+            )
+            e = np.asarray(fn(*args, jnp.asarray(scales, jnp.float32)), np.float64)
+            interior = np.where(
+                (e[1:-1] < e[:-2]) & (e[1:-1] <= e[2:]) & np.isfinite(e[1:-1])
+            )[0] + 1
+            if interior.size == 0:
+                out.append(s)
+                continue
+            k = int(interior[np.argmin(np.abs(scales[interior] - 1.0))])
+            lo, hi = scales[k - 1], scales[k + 1]
+            # golden-section refine inside the bracket
+            for _ in range(12):
+                m1 = hi - gr * (hi - lo)
+                m2 = lo + gr * (hi - lo)
+                e1, e2 = np.asarray(
+                    fn(*args, jnp.asarray([m1, m2], jnp.float32)), np.float64
+                )
+                if e1 < e2:
+                    hi = m2
+                else:
+                    lo = m1
+            s_opt = (lo + hi) / 2.0
+            out.append(
+                Structure(
+                    species=list(s.species),
+                    frac_coords=s.frac_coords,
+                    lattice=s.lattice * float(s_opt),
+                )
+            )
+        except Exception:
+            out.append(s)
+    return out
+
+
+def gamma_heat_capacity(
+    structures: Sequence[Structure],
+    temperature: float = 300.0,
+    relaxer: SoftSphereRelaxer | None = None,
+    min_length: float = 8.0,
+    max_atoms: int = 160,
+    depth_eV: float = 0.3,
+) -> np.ndarray:
+    """Heat capacity at ``temperature`` (J/g/K) per structure; NaN on failure.
+
+    Pipeline mirrors the reference phonon worker: relax -> supercell ->
+    Γ-point phonons -> thermal properties. Residual soft modes enter as |ω|
+    (standard screening practice for slightly-off-minimum structures)."""
+    if not structures:
+        return np.zeros(0)
+    out = []
+    for s in _equilibrate(structures, relaxer):
+        try:
+            sc = supercell(s, choose_reps(s, min_length, max_atoms))
+            omega = np.abs(gamma_frequencies(sc, depth_eV))
+            mass = float(np.sum(_MASSES_AMU[np.asarray(sc.species)]))
+            out.append(harmonic_heat_capacity(omega, mass, temperature))
+        except Exception:
+            out.append(float("nan"))
+    return np.asarray(out)
+
+
+@lru_cache(maxsize=32)
+def _strain_energy_fn(num_atoms: int):
+    radii = jnp.asarray(_COVALENT_RADII)
+
+    @jax.jit
+    def energies(frac, lattice, atom_types, scales):
+        def one(s):
+            batch = CrystalBatch(
+                atom_types=atom_types[None],
+                frac_coords=frac[None],
+                lattice=(lattice * s)[None],
+                num_atoms=jnp.array([num_atoms], jnp.int32),
+            )
+            return _pair_energy(batch, radii)[0]
+
+        return jax.vmap(one)(scales)
+
+    return energies
+
+
+def soft_sphere_bulk_modulus(
+    structures: Sequence[Structure],
+    relaxer: SoftSphereRelaxer | None = None,
+    depth_eV: float = 0.3,
+    delta: float = 0.02,
+) -> np.ndarray:
+    """Bulk modulus (GPa) per structure from the isotropic E(V) curvature.
+
+    B = V₀ d²E/dV²; with lattice scaled by s (V = V₀s³), at the equilibrium
+    scale (where dE/ds = 0) this is d²E/ds²/(9V₀) minus the residual pressure
+    term (2/3)(dE/ds)/(3V₀) — both taken from a 5-point stencil around the
+    ``_equilibrate``d state, so the curvature is positive. NaN on failure."""
+    if not structures:
+        return np.zeros(0)
+    scales = np.array([1.0 - 2 * delta, 1.0 - delta, 1.0, 1.0 + delta, 1.0 + 2 * delta])
+    out = []
+    for s in _equilibrate(structures, relaxer):
+        try:
+            e = np.asarray(
+                _strain_energy_fn(s.num_atoms)(
+                    jnp.asarray(s.frac_coords % 1.0, jnp.float32),
+                    jnp.asarray(s.lattice, jnp.float32),
+                    jnp.asarray(s.species, jnp.int32),
+                    jnp.asarray(scales, jnp.float32),
+                ),
+                dtype=np.float64,
+            ) * depth_eV  # eV
+            # central differences on the 5-point stencil
+            d1 = (e[3] - e[1]) / (2 * delta)
+            d2 = (e[1] - 2 * e[2] + e[3]) / delta**2
+            v0 = s.volume
+            b_gpa = ((d2 - 2.0 * d1 / 3.0) / (9.0 * v0)) * _EV_PER_A3_TO_GPA
+            out.append(float(b_gpa) if np.isfinite(b_gpa) else float("nan"))
+        except Exception:
+            out.append(float("nan"))
+    return np.asarray(out)

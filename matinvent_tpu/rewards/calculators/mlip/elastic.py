@@ -3,13 +3,22 @@
 Subprocess counterpart of /root/reference/rewards/calculators/fairchem/elastic.py
 (quacc ``elastic_tensor_flow`` + eSEN-30M-OAM MLIP). Usage:
     python elastic.py <in.extxyz> <out.txt> <n_workers>
-Writes one bulk modulus (GPa) per structure; NaN per structure on failure or
-when the MLIP stack is not installed in this interpreter.
+Writes one bulk modulus (GPa) per structure. When the quacc/fairchem stack is
+absent, falls back to the in-tree native E(V)-curvature workflow
+(chem/phonon.soft_sphere_bulk_modulus; screening-grade soft-sphere potential
+instead of the trained MLIP). NaN per structure on failure.
 """
 from __future__ import annotations
 
+import os
 import sys
 from concurrent.futures import ProcessPoolExecutor
+
+# source-layout package: the pipeline chdirs into its results dir before
+# spawning this worker, so the repo root must be pinned explicitly
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), *[".."] * 4))
+)
 
 
 def bulk_task(atoms) -> float:
@@ -38,6 +47,7 @@ def main() -> None:
 
     structures = read_extxyz(xyz_path)
     try:
+        import quacc  # noqa: F401 — the real MLIP stack, reference parity
         from ase import Atoms
 
         atoms_list = [
@@ -51,7 +61,20 @@ def main() -> None:
         else:
             results = [bulk_task(a) for a in atoms_list]
     except ImportError:
-        results = [float("nan")] * len(structures)
+        # native fallback: E(V) curvature on the in-tree pair potential
+        # (chem/phonon.py) — keeps the bulk-modulus MLIP reward runnable
+        # end to end with zero external dependencies
+        try:
+            import jax
+
+            # host-side worker: never touch the TPU (remote compiles per
+            # structure size take minutes and contend with the sampler)
+            jax.config.update("jax_platforms", "cpu")
+            from matinvent_tpu.chem.phonon import soft_sphere_bulk_modulus
+
+            results = [float(v) for v in soft_sphere_bulk_modulus(structures)]
+        except Exception:
+            results = [float("nan")] * len(structures)
 
     with open(out_path, "w") as fh:
         fh.write("\n".join(f"{v:.6f}" for v in results) + "\n")

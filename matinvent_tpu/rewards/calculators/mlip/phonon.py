@@ -3,12 +3,22 @@
 Subprocess counterpart of /root/reference/rewards/calculators/fairchem/phonon.py
 (quacc relax_job + phonon_flow + eSEN-30M-OAM MLIP). Usage:
     python phonon.py <in.extxyz> <out.txt> <n_workers>
-NaN per structure on failure or when the MLIP stack is absent.
+When the quacc/fairchem stack is absent, falls back to the in-tree native
+Γ-point phonon workflow (chem/phonon.gamma_heat_capacity — relax, supercell,
+mass-weighted Hessian, Bose-Einstein C_v; screening-grade soft-sphere
+potential instead of the trained MLIP). NaN per structure on failure.
 """
 from __future__ import annotations
 
+import os
 import sys
 from concurrent.futures import ProcessPoolExecutor
+
+# source-layout package: the pipeline chdirs into its results dir before
+# spawning this worker, so the repo root must be pinned explicitly
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), *[".."] * 4))
+)
 
 
 def phonon_task(atoms) -> float:
@@ -40,6 +50,7 @@ def main() -> None:
 
     structures = read_extxyz(xyz_path)
     try:
+        import quacc  # noqa: F401 — the real MLIP stack, reference parity
         from ase import Atoms
 
         atoms_list = [
@@ -53,7 +64,20 @@ def main() -> None:
         else:
             results = [phonon_task(a) for a in atoms_list]
     except ImportError:
-        results = [float("nan")] * len(structures)
+        # native fallback: screening-grade Γ-point phonons on the in-tree
+        # pair potential (chem/phonon.py) — keeps the heat-capacity reward
+        # runnable end to end with zero external dependencies
+        try:
+            import jax
+
+            # host-side worker: never touch the TPU (remote compiles per
+            # supercell size take minutes and contend with the sampler)
+            jax.config.update("jax_platforms", "cpu")
+            from matinvent_tpu.chem.phonon import gamma_heat_capacity
+
+            results = [float(v) for v in gamma_heat_capacity(structures)]
+        except Exception:
+            results = [float("nan")] * len(structures)
 
     with open(out_path, "w") as fh:
         fh.write("\n".join(f"{v:.6f}" for v in results) + "\n")

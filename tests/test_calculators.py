@@ -142,7 +142,10 @@ class TestDFTDriver:
 
 
 class TestMLIPBridge:
-    def test_graceful_nan_without_mlip_stack(self, tmp_path, strucs):
+    def test_native_fallback_without_mlip_stack(self, tmp_path, strucs):
+        """fairchem/quacc absent in this env: the worker falls back to the
+        in-tree E(V)-curvature workflow (chem/phonon.py) and returns real
+        screening-grade moduli instead of NaN."""
         from matinvent_tpu.chem.structure import save_extxyz
         from matinvent_tpu.rewards.calculators.mlip import MLIPBridge
 
@@ -151,7 +154,7 @@ class TestMLIPBridge:
         calc = MLIPBridge(str(tmp_path), task="bulk_modulus", worker=1)
         res = calc.calc((strucs, xyz), "t0")
         assert res.shape == (3,)
-        assert np.isnan(res).all()  # fairchem/quacc absent in this env
+        assert np.isfinite(res).all() and (res > 0).all()
 
 
 class TestSynScoreTrained:

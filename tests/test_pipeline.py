@@ -278,16 +278,32 @@ def test_diffcsp_rejects_conditions():
         )
 
 
-def test_opt_filter_skips_untrained_syn_screen(caplog):
-    """'synthesizable' with a weightless SynScore must warn and skip, not gate
-    on random scores (VERDICT r1 weak #9)."""
+def test_opt_filter_syn_screen_trained_vs_untrained(caplog, tmp_path):
+    """'synthesizable' gates on the shipped trained ensemble, but a weightless
+    SynScore must warn and skip, not gate on random scores (VERDICT r1 weak #9)."""
     import logging as _logging
 
+    from matinvent_tpu.rewards.calculators.syn_score import SynScore
+
+    # default: the in-repo trained ensemble loads and the screen is active
+    flt = OptFilter(metrics=["validity", "synthesizable"], relax=False)
+    assert flt.syn_calculator is not None and flt.syn_calculator.trained
+    s1, s2 = make_struc([11, 17]), make_struc([26, 26, 8, 8, 8], a=6.0)
+    data, strucs, metrics = flt(["a", "b"], [s1, s2])
+    assert "frac_synthesizable" in metrics
+
+    # weightless (bad model_path => random init): warn and skip the screen
+    untrained = SynScore(
+        root_dir=str(tmp_path), model_path=str(tmp_path / "missing.npz")
+    )
+    assert not untrained.trained
     with caplog.at_level(_logging.WARNING):
-        flt = OptFilter(metrics=["validity", "synthesizable"], relax=False)
+        flt = OptFilter(
+            metrics=["validity", "synthesizable"], relax=False,
+            syn_calculator=untrained,
+        )
     assert flt.syn_calculator is None
     assert any("no trained weights" in r.message for r in caplog.records)
-    s1, s2 = make_struc([11, 17]), make_struc([26, 26, 8, 8, 8], a=6.0)
     data, strucs, metrics = flt(["a", "b"], [s1, s2])
     assert "frac_synthesizable" not in metrics
     assert len(strucs) == 2  # nothing gated by the skipped screen
