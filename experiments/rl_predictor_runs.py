@@ -8,11 +8,17 @@ corpus) and the policy must steer compositions toward magnetic elements.
 Config 4: multi-property band gap + bulk modulus (reward=gap_bulk,
 reduce=weight) with the OptFilter metrics screen and the LTM/AHC diversity
 filter enabled — the full MatInvent loop of the reference
-(configs/pipeline/mat_invent.yaml:24-27, reward yamls band_gap+bulk).
+(configs/pipeline/mat_invent.yaml:24-27, reward yamls band_bulk).
+
+Config 5: heat-capacity RL through the MLIP subprocess bridge (reference:
+FairChem eSEN-30M-OAM phonon workflow, rewards/calculators/fairchem/
+phonon.py) — here the bridge's native Γ-point phonon fallback
+(chem/phonon.py) scores every sample, steering compositions toward light
+elements (high C_v per gram).
 
 Reuses the demo corpus + pretraining from experiments/rl_demo.py.
 
-    python experiments/rl_predictor_runs.py run=mag|gapbulk [iters=60] ...
+    python experiments/rl_predictor_runs.py run=mag|gapbulk|heatcap [iters=60] ...
 """
 from __future__ import annotations
 
@@ -67,8 +73,8 @@ def main(argv: list[str]) -> None:
     # MatterGen (continuous VP SDE) is stable at short chains; the DiffCSP
     # discrete cosine schedule needs T >= 200 (ops/schedules.py warning) —
     # run it at the reference operating point T=1000
-    timesteps = int(kv.get("timesteps", 100 if run == "mag" else 1000))
-    accum = int(kv.get("accum", 25 if run == "mag" else 50))
+    timesteps = int(kv.get("timesteps", 1000 if run == "gapbulk" else 100))
+    accum = int(kv.get("accum", 50 if run == "gapbulk" else 25))
     batch = int(kv.get("batch", 128))
     os.makedirs(out_dir, exist_ok=True)
 
@@ -77,8 +83,10 @@ def main(argv: list[str]) -> None:
     if not os.path.exists(data_path):
         demo.make_dataset(data_path)
 
-    if run == "mag":
-        family, reward, expname = "mattergen", "magnetic_density", "rl_mag_density"
+    if run in ("mag", "heatcap"):
+        family = "mattergen"
+        reward = "magnetic_density" if run == "mag" else "heat_capacity"
+        expname = "rl_mag_density" if run == "mag" else "rl_heat_capacity"
         ckpt_dir = os.path.join(out_dir, "pretrained_mattergen")
         if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
             demo.pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)

@@ -84,11 +84,13 @@ class DiffCSPConfig:
     # all update math stay float32 (only the net fwd is cast). Training always
     # runs float32.
     sample_dtype: str = struct.field(pytree_node=False, default="float32")
-    # Use the fused Pallas CSPLayer kernel for score-net evals inside the
-    # sampling scan (inference-only fast path; requires ln=False). Ignored on
-    # non-TPU backends unless running in interpret mode.
-    use_pallas_sampling: bool = struct.field(pytree_node=False, default=False)
-    pallas_block_b: int = struct.field(pytree_node=False, default=8)
+    # NOTE: a fused Pallas CSPLayer sampling kernel was built, A/B'd on v5e
+    # at both the mp-20 (A=20: 31 vs 163 structs/s) and mpts-52 (A=52: 6.1
+    # vs 35.2 structs/s) operating points across block sizes 1-8, raised
+    # VMEM limits, and sublane-aligned padding — XLA's own fusion won every
+    # configuration, so the kernel was removed (git history: ops/
+    # pallas_csp_layer.py). The dense masked edge layout here is exactly
+    # what XLA tiles well onto the MXU.
     # Optional sampling-time guard: clip the unbounded diffusion channels
     # (lattice entries + type logits) to +/- this value inside the reverse
     # scan. The ip-coupled lattice head makes the DDPM recursion
@@ -456,24 +458,11 @@ class DiffCSPDiffusion:
         beta, sigma = self.beta, self.sigma
         sigma_begin = c.sigma_begin
 
-        use_pallas = c.use_pallas_sampling and not c.ln
-
         def eval_net(time_emb, t_t, x_t, l_t):
             """Score-net forward in the sampling compute dtype; f32 outputs."""
-            if use_pallas:
-                from matinvent_tpu.models.cspnet_pallas import cspnet_forward_pallas
-
-                preds = cspnet_forward_pallas(
-                    params, time_emb, t_t, x_t, l_t, num_atoms, mask,
-                    num_layers=c.num_layers, num_freqs=c.num_freqs,
-                    dtype=jnp.dtype(c.sample_dtype),
-                    block_b=c.pallas_block_b,
-                    interpret=jax.default_backend() == "cpu",
-                )
-            else:
-                preds = self.sample_net.apply(
-                    params, time_emb, t_t, x_t, l_t, num_atoms, mask
-                )
+            preds = self.sample_net.apply(
+                params, time_emb, t_t, x_t, l_t, num_atoms, mask
+            )
             return jax.tree.map(lambda o: o.astype(jnp.float32), preds)
 
         def step(carry, t):

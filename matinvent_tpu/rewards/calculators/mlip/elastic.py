@@ -19,6 +19,9 @@ from concurrent.futures import ProcessPoolExecutor
 sys.path.insert(
     0, os.path.abspath(os.path.join(os.path.dirname(__file__), *[".."] * 4))
 )
+# each reward iteration spawns a fresh worker: persist compiled strain scans
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def bulk_task(atoms) -> float:
