@@ -103,6 +103,8 @@ def main(argv: list[str]) -> None:
     sigma = float(kv.get("sigma", 0.1))
     batch = int(kv.get("batch", 128))
     mode = kv.get("mode", "reward_weighted")
+    lr = float(kv.get("lr", 1e-4))
+    ddpo_epochs = int(kv.get("ddpo_epochs", 1))
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -158,7 +160,8 @@ def main(argv: list[str]) -> None:
                 f"pipeline.finetune_cfg.accum_steps={accum}",
                 f"pipeline.finetune_cfg.epochs={epochs}",
                 f"pipeline.finetune_cfg.sigma={sigma}",
-                "model.finetune_cfg.lr=0.0001",
+                f"model.finetune_cfg.lr={lr}",
+                f"+model.finetune_cfg.ddpo_epochs={ddpo_epochs}",
                 f"+pipeline.finetune_mode={mode}",
                 f"pipeline.save_freq={iters}",
                 "sample_cfg.filter=null",
