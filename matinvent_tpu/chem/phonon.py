@@ -152,7 +152,10 @@ def harmonic_heat_capacity(
     if w.size == 0:
         return float("nan")
     x = _HBAR * w / (_KB * temperature)
-    cv = _KB * np.sum(x**2 * np.exp(x) / np.expm1(x) ** 2)  # J/K
+    # x² eˣ/(eˣ−1)² written as x² e⁻ˣ/(1−e⁻ˣ)²: stable for arbitrarily
+    # stiff modes (naive eˣ overflows past x ≈ 700)
+    ex = np.exp(-x)
+    cv = _KB * np.sum(x**2 * ex / (1.0 - ex) ** 2)  # J/K
     mass_g = mass_amu * _AMU * 1e3
     return float(cv / mass_g)
 
