@@ -149,6 +149,7 @@ class DDPOFinetuneStep:
         step_lr: float = 5e-6,
         adv_norm: bool = True,
         epochs: int = 1,
+        max_grad_norm: float = 1.0,
     ):
         self.diffusion = diffusion
         self.clip_eps = clip_eps
@@ -160,7 +161,12 @@ class DDPOFinetuneStep:
         self.adv_norm = adv_norm
         # PPO passes over the same recorded trajectories per RL iteration
         self.epochs = epochs
-        self.optimizer = optax.adam(lr)
+        # global-norm clipping: without it the policy walks off the valid
+        # manifold and collapses to zero valid samples (measured: HHI reward
+        # 0.07 -> 0.66 by iter ~15, then 0 forever at lr=1e-5 unclipped)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+        )
 
     @partial(jax.jit, static_argnames=("self",))
     def update(

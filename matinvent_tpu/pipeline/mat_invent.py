@@ -104,6 +104,7 @@ class MatInvent(ReinL):
                 step_lr=float(step_lr),
                 adv_norm=bool(self.finetune_cfg.get("adv_norm", True)),
                 epochs=int(self.finetune_cfg.get("ddpo_epochs", 1)),
+                max_grad_norm=float(self.finetune_cfg.get("max_grad_norm", 1.0)),
             )
 
         # async host/device overlap (SURVEY.md §7 'Host-device overlap'): when
