@@ -72,6 +72,7 @@ def bench_mattergen() -> dict:
     from matinvent_tpu.models.mattergen.sample import MatterGenSampler
 
     B, A, T, H, L = 64, 20, 1000, 256, 6
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "3"))
     cfg = MatterGenConfig(
         hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
         n_corrector=1, sample_dtype="bfloat16",
@@ -85,7 +86,7 @@ def bench_mattergen() -> dict:
         # size-bucketed fused scan (sample_bucketed)
         sampler = MatterGenSampler(
             batch_size=B, num_batches=1, max_atoms=A,
-            num_atoms_distribution="ALEX_MP_20", size_buckets=3, seed=0,
+            num_atoms_distribution="ALEX_MP_20", size_buckets=n_buckets, seed=0,
         )
         final = sampler.launch((diffusion, params))
         jax.block_until_ready(final.frac_coords)
@@ -101,12 +102,12 @@ def bench_mattergen() -> dict:
     # actual computed FLOPs: per-bucket shapes of the sorted split
     sampler = MatterGenSampler(
         batch_size=B, num_batches=1, max_atoms=A,
-        num_atoms_distribution="ALEX_MP_20", size_buckets=3, seed=0,
+        num_atoms_distribution="ALEX_MP_20", size_buckets=n_buckets, seed=0,
     )
     draws = sampler._draw_num_atoms(B)
     evals = T * (1 + cfg.n_corrector)
     flops = 0
-    for idx in np.array_split(np.argsort(draws, kind="stable"), 3):
+    for idx in np.array_split(np.argsort(draws, kind="stable"), n_buckets):
         cap = min(int(np.ceil(max(int(draws[idx].max()), 1) / 4) * 4), A)
         flops += _mattergen_flops_per_eval(len(idx), cap, H, L) * evals
     mfu = flops / dt / (V5E_BF16_PEAK_TFLOPS * 1e12)
@@ -115,7 +116,8 @@ def bench_mattergen() -> dict:
         "value": round(B / dt, 3),
         "unit": (
             "structures/sec/chip (MatterGen-class h256/L6, batch 64, ALEX_MP_20 "
-            "num-atoms draws, 3 size buckets, 1000 PC steps x 2 evals, bf16)"
+            f"num-atoms draws, {n_buckets} size buckets, 1000 PC steps x 2 "
+            "evals, bf16)"
         ),
         "vs_baseline": round(B / dt / ANCHOR_A100_STRUCS_PER_SEC, 2),
         "mfu": round(mfu, 4),
