@@ -1,0 +1,143 @@
+"""Conditional generation demo: TargetProperty conditioning + CFG guidance.
+
+The reference's conditional path relies on published conditional MatterGen
+checkpoints (models/suite/mattergen.py AVA_MODEL_NAME variants +
+sample.py:134-136 properties_to_condition_on / diffusion_guidance_factor).
+This demo exercises the SAME capability fully in-framework, quantitatively:
+
+1. pretrain a conditional MatterGen-family net on the synthetic corpus with
+   per-structure DENSITY as the conditioning field (classifier-free dropout
+   trains the learned null token, models/mattergen/score_net.py);
+2. sample with properties_to_condition_on={"density": target} at several
+   targets and guidance factors;
+3. verify the sampled structures' actual densities track the requested
+   target, and that guidance > 0 sharpens the match.
+
+    python experiments/conditional_demo.py [steps=20000] [out=experiments/results]
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def conditional_batches(structures, batch_size, max_atoms, rng):
+    """structures_to_batches variant that attaches per-structure density."""
+    from matinvent_tpu.models.batch import CrystalBatch
+
+    usable = [s for s in structures if 1 <= s.num_atoms <= max_atoms]
+    n = len(usable)
+    dens = np.array([s.density for s in usable], dtype=np.float32)
+    while True:
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            chunk = [usable[j] for j in idx]
+            batch = CrystalBatch.from_lists(
+                [s.species for s in chunk],
+                [s.frac_coords for s in chunk],
+                [s.lattice for s in chunk],
+                max_atoms=max_atoms,
+            )
+            yield batch, {"density": dens[idx]}
+
+
+def main(argv: list[str]) -> None:
+    kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    steps = int(kv.get("steps", 20000))
+    out_dir = os.path.abspath(kv.get("out", "experiments/results"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    import jax
+
+    from matinvent_tpu.chem.structure import read_extxyz
+    from matinvent_tpu.models.mattergen.sample import MatterGenSampler
+    from matinvent_tpu.models.sample import batch_to_structures
+    from matinvent_tpu.models.suite.mattergen import MatterGenSuite
+    from matinvent_tpu.parallel.pretrain import PretrainTrainer
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "rl_demo", os.path.join(here, "rl_demo.py")
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    data_path = os.path.join(out_dir, "dataset_conditional.extxyz")
+    if not os.path.exists(data_path):
+        demo.make_dataset(data_path, n=800, seed=1)
+    structures = read_extxyz(data_path)
+    dens = np.array([s.density for s in structures])
+    print(f"[cond] corpus density: mean {dens.mean():.2f} std {dens.std():.2f} "
+          f"range [{dens.min():.2f}, {dens.max():.2f}]", flush=True)
+
+    max_atoms, T = 8, int(kv.get("timesteps", 1000))
+    suite = MatterGenSuite(
+        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128, timesteps=T,
+                       condition_fields=("density",)),
+        sample_cfg={"max_atoms": max_atoms},
+    )
+    diffusion, params = suite.load_model()
+
+    ckpt_dir = os.path.join(out_dir, "pretrained_conditional")
+    if os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
+        diffusion, params = suite.load_model()  # fresh init has the fields
+        from flax import serialization
+
+        with open(os.path.join(ckpt_dir, "params.msgpack"), "rb") as fh:
+            params = serialization.from_bytes(params, fh.read())
+    else:
+        rng = np.random.default_rng(0)
+        batches = conditional_batches(structures, 256, max_atoms, rng)
+        trainer = PretrainTrainer(diffusion, lr=1.5e-3, total_steps=steps)
+        params, _ = trainer.train(
+            params, batches, steps, jax.random.PRNGKey(0),
+            log_every=max(steps // 10, 1),
+        )
+        suite.save_model(params, ckpt_dir)
+    print(f"[cond] model ready: {ckpt_dir}", flush=True)
+
+    results = []
+    lo, hi = float(np.quantile(dens, 0.15)), float(np.quantile(dens, 0.85))
+    for target in (lo, hi):
+        for guidance in (0.0, 2.0):
+            sampler = MatterGenSampler(
+                batch_size=128, num_batches=1, max_atoms=max_atoms,
+                num_atoms_distribution="mp_20", seed=7,
+                properties_to_condition_on={"density": float(target)},
+                diffusion_guidance_factor=guidance,
+            )
+            final = sampler.launch((diffusion, params))
+            _, strucs = batch_to_structures(final)
+            got = np.array([s.density for s in strucs])
+            got = got[np.isfinite(got) & (got < 50)]
+            row = dict(
+                target=round(float(target), 3),
+                guidance=guidance,
+                sampled_density_mean=round(float(got.mean()), 3),
+                sampled_density_std=round(float(got.std()), 3),
+                n=int(got.size),
+            )
+            results.append(row)
+            print(f"[cond] {row}", flush=True)
+
+    # steering metric: mean sampled density must order with the target, and
+    # guidance must pull the mean closer to the target
+    summary = dict(
+        corpus_density_mean=round(float(dens.mean()), 3),
+        targets=dict(low=round(lo, 3), high=round(hi, 3)),
+        results=results,
+    )
+    with open(os.path.join(out_dir, "conditional_demo_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print("[cond] " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -25,29 +25,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def pretrain(data_path: str, ckpt_dir: str, steps: int, timesteps: int,
-             max_atoms: int = 4) -> None:
-    import jax
-    import numpy as np
+def _load_demo():
+    import importlib.util
 
-    from matinvent_tpu.chem.structure import read_extxyz
-    from matinvent_tpu.models.suite.mattergen import MatterGenSuite
-    from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
-
-    suite = MatterGenSuite(
-        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128,
-                       timesteps=timesteps),
-        sample_cfg={"max_atoms": max_atoms},
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "rl_demo", os.path.join(here, "rl_demo.py")
     )
-    diffusion, params = suite.load_model()
-    structures = read_extxyz(data_path)
-    rng = np.random.default_rng(0)
-    batches = structures_to_batches(structures, 256, max_atoms, rng)
-    trainer = PretrainTrainer(diffusion, lr=1.5e-3, total_steps=steps)
-    params, _ = trainer.train(
-        params, batches, steps, jax.random.PRNGKey(0), log_every=max(steps // 20, 1)
-    )
-    suite.save_model(params, ckpt_dir)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def main(argv: list[str]) -> None:
@@ -61,7 +48,10 @@ def main(argv: list[str]) -> None:
 
     ckpt_dir = os.path.join(out_dir, "pretrained_geneval")
     if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
-        pretrain(corpus, ckpt_dir, steps, timesteps)
+        _load_demo().pretrain_mattergen(
+            corpus, ckpt_dir, steps=steps, timesteps=timesteps,
+            batch_size=256, max_atoms=4,
+        )
     print(f"[gen_eval_run] pretrained: {ckpt_dir}", flush=True)
 
     import gen_eval

@@ -65,7 +65,10 @@ def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
 
 
 def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
-                       timesteps: int = 100) -> None:
+                       timesteps: int = 100, batch_size: int = 128,
+                       max_atoms: int = 8) -> None:
+    """The one MatterGen-family pretrain recipe, shared by every experiment
+    driver (rl_predictor_runs.py, gen_eval_run.py import it from here)."""
     import jax
     import numpy as np
 
@@ -76,15 +79,16 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
     suite = MatterGenSuite(
         model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128,
                        timesteps=timesteps),
-        sample_cfg={"max_atoms": 8},
+        sample_cfg={"max_atoms": max_atoms},
     )
     diffusion, params = suite.load_model()
     structures = read_extxyz(data_path)
     rng = np.random.default_rng(0)
-    batches = structures_to_batches(structures, 128, 8, rng)
+    batches = structures_to_batches(structures, batch_size, max_atoms, rng)
     trainer = PretrainTrainer(diffusion, lr=1.5e-3, total_steps=steps)
     params, _ = trainer.train(
-        params, batches, steps, jax.random.PRNGKey(0), log_every=steps // 20
+        params, batches, steps, jax.random.PRNGKey(0),
+        log_every=max(steps // 20, 1),
     )
     suite.save_model(params, ckpt_dir)
 
@@ -103,7 +107,10 @@ def main(argv: list[str]) -> None:
     sigma = float(kv.get("sigma", 0.1))
     batch = int(kv.get("batch", 128))
     mode = kv.get("mode", "reward_weighted")
-    lr = float(kv.get("lr", 1e-4))
+    # DDPO's measured working recipe is lr 3e-6 + grad clipping; at 1e-5+
+    # the policy collapses off the valid manifold (PARITY.md) — the default
+    # must depend on the mode
+    lr = float(kv.get("lr", 3e-6 if mode == "ddpo" else 1e-4))
     ddpo_epochs = int(kv.get("ddpo_epochs", 1))
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

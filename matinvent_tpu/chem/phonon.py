@@ -105,13 +105,20 @@ def _hessian_fn(num_atoms: int):
     @jax.jit
     def hess(frac0, lattice, atom_types):
         inv_lat = jnp.linalg.inv(lattice)
-        cart0 = frac0 @ lattice
+        # geometry matmuls pin HIGHEST: the Hessian is a second derivative
+        # of distances — bf16-based default precision would corrupt it
+        cart0 = jnp.matmul(
+            frac0, lattice, precision=jax.lax.Precision.HIGHEST
+        )
 
         def energy(u_flat):
             cart = cart0 + u_flat.reshape(num_atoms, 3)
+            frac = jnp.matmul(
+                cart, inv_lat, precision=jax.lax.Precision.HIGHEST
+            )
             batch = CrystalBatch(
                 atom_types=atom_types[None],
-                frac_coords=(cart @ inv_lat)[None],
+                frac_coords=frac[None],
                 lattice=lattice[None],
                 num_atoms=jnp.array([num_atoms], jnp.int32),
             )
@@ -280,10 +287,10 @@ def soft_sphere_bulk_modulus(
 ) -> np.ndarray:
     """Bulk modulus (GPa) per structure from the isotropic E(V) curvature.
 
-    B = V₀ d²E/dV²; with lattice scaled by s (V = V₀s³), at the equilibrium
-    scale (where dE/ds = 0) this is d²E/ds²/(9V₀) minus the residual pressure
-    term (2/3)(dE/ds)/(3V₀) — both taken from a 5-point stencil around the
-    ``_equilibrate``d state, so the curvature is positive. NaN on failure."""
+    B = V d²E/dV²; with lattice scaled by s (V = V₀s³), at s=1 this is
+    (E''(s) − 2E'(s))/(9V₀) — derivatives from a true 5-point stencil around
+    the ``_equilibrate``d state (where E' ≈ 0 and the curvature is
+    positive). NaN on failure."""
     if not structures:
         return np.zeros(0)
     scales = np.array([1.0 - 2 * delta, 1.0 - delta, 1.0, 1.0 + delta, 1.0 + 2 * delta])
@@ -299,11 +306,14 @@ def soft_sphere_bulk_modulus(
                 ),
                 dtype=np.float64,
             ) * depth_eV  # eV
-            # central differences on the 5-point stencil
-            d1 = (e[3] - e[1]) / (2 * delta)
-            d2 = (e[1] - 2 * e[2] + e[3]) / delta**2
+            # true 5-point central differences (O(delta^4))
+            d1 = (e[0] - 8 * e[1] + 8 * e[3] - e[4]) / (12 * delta)
+            d2 = (-e[0] + 16 * e[1] - 30 * e[2] + 16 * e[3] - e[4]) / (
+                12 * delta**2
+            )
             v0 = s.volume
-            b_gpa = ((d2 - 2.0 * d1 / 3.0) / (9.0 * v0)) * _EV_PER_A3_TO_GPA
+            # chain rule for V = V0 s^3 at s=1: B = (E'' - 2E')/(9 V0)
+            b_gpa = ((d2 - 2.0 * d1) / (9.0 * v0)) * _EV_PER_A3_TO_GPA
             out.append(float(b_gpa) if np.isfinite(b_gpa) else float("nan"))
         except Exception:
             out.append(float("nan"))
