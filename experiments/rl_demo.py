@@ -26,32 +26,25 @@ import numpy as np
 
 def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
     """Plausible ionic-crystal-like dataset: binary/ternary compositions on
-    simple motifs with covalent-radius-derived cell sizes."""
-    from matinvent_tpu.chem.data import OXIDATION_STATES, Z_BY_SYMBOL
+    simple motifs with covalent-radius-derived cell sizes. Motif geometries
+    come from the shared registry (chem/motifs.py)."""
+    from matinvent_tpu.chem.motifs import (
+        BASE_MOTIF_NAMES,
+        MOTIFS,
+        anion_pool,
+        cation_pool,
+    )
     from matinvent_tpu.chem.relax import _COVALENT_RADII
     from matinvent_tpu.chem.structure import Structure, save_extxyz
 
     rng = np.random.default_rng(seed)
-    cations = [Z_BY_SYMBOL[s] for s, ox in OXIDATION_STATES.items()
-               if s in Z_BY_SYMBOL and Z_BY_SYMBOL[s] <= 83 and any(o > 0 for o in ox)]
-    anions = [Z_BY_SYMBOL[s] for s in ("O", "S", "Se", "F", "Cl", "Br", "N", "P")]
+    cations = cation_pool()
+    anions = anion_pool()
 
-    motifs = {
-        "rocksalt": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
-        "cscl": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
-        "fluorite": (
-            np.array([[0, 0, 0], [0.25, 0.25, 0.25], [0.75, 0.75, 0.75]]),
-            (1, 2),
-        ),
-        "layered": (
-            np.array([[0, 0, 0], [0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]]),
-            (2, 2),
-        ),
-    }
     out = []
-    names = list(motifs)
+    names = list(BASE_MOTIF_NAMES)
     for _ in range(n):
-        coords, (n_cat, n_an) = motifs[names[rng.integers(len(names))]]
+        coords, (n_cat, n_an) = MOTIFS[names[rng.integers(len(names))]]
         cat = int(rng.choice(cations))
         an = int(rng.choice(anions))
         species = [cat] * n_cat + [an] * n_an

@@ -100,20 +100,23 @@ def main(argv: list[str]) -> None:
 
     reference = ReferenceDataset.from_files(reference_path, reference_energies)
 
+    if relax:
+        # relaxation is independent of stability scoring: metrics are
+        # reported on the relaxed structures either way (reference:
+        # mattergen-evaluate --relax, scripts/gen_eval.sh:27)
+        from matinvent_tpu.chem.relax import SoftSphereRelaxer
+
+        logging.info("relaxing generated structures (SoftSphere) ...")
+        all_strucs, _ = SoftSphereRelaxer()(all_strucs)
+
     energies = None
     if reference.hull is not None:
-        # energies on the hull's own scale: optional SoftSphere relax, then
-        # the analytic formation-energy model x num_atoms (stable_mask takes
-        # totals)
+        # energies on the hull's own scale: the analytic formation-energy
+        # model x num_atoms (stable_mask takes totals)
         import numpy as np
 
         from matinvent_tpu.chem.proxy_labels import formation_energy_ev_per_atom
 
-        if relax:
-            from matinvent_tpu.chem.relax import SoftSphereRelaxer
-
-            logging.info("relaxing generated structures (SoftSphere) ...")
-            all_strucs, _ = SoftSphereRelaxer()(all_strucs)
         energies = [
             formation_energy_ev_per_atom(s) * s.num_atoms for s in all_strucs
         ]

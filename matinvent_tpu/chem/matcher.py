@@ -213,35 +213,50 @@ class ExactStructureMatcher:
         return False
 
     # ------------------------------------------------------------------ api
-    def fit(self, s1: Structure, s2: Structure) -> bool:
-        c1, c2 = s1.composition, s2.composition
-        if c1.reduced_formula != c2.reduced_formula:
+    def prepare(self, s: Structure):
+        """Per-structure precompute (Niggli reduction + arrays) — cacheable
+        by callers that fit the same structure against many others."""
+        r = self._niggli(s)
+        return (
+            s.composition.reduced_formula,
+            s.num_atoms,
+            np.asarray(r.lattice, dtype=np.float64),
+            np.asarray(r.frac_coords) % 1.0,
+            np.asarray(r.species),
+        )
+
+    def fit_prepared(self, p1, p2) -> bool:
+        form1, n1, l1, f1, sp1 = p1
+        form2, n2, l2, f2, sp2 = p2
+        if form1 != form2:
             return False
-        if s1.num_atoms != s2.num_atoms:
+        if n1 != n2:
             return False  # same-cell comparison; supercell mode not needed
-        r1, r2 = self._niggli(s1), self._niggli(s2)
-        l1 = np.asarray(r1.lattice, dtype=np.float64)
-        l2 = np.asarray(r2.lattice, dtype=np.float64)
         if self.scale:
             # normalize both to unit volume/atom (pymatgen scale=True)
-            v1 = abs(np.linalg.det(l1)) / s1.num_atoms
-            v2 = abs(np.linalg.det(l2)) / s2.num_atoms
+            v1 = abs(np.linalg.det(l1)) / n1
+            v2 = abs(np.linalg.det(l2)) / n2
             if v1 <= 0 or v2 <= 0:
                 return False
             l1 = l1 / np.cbrt(v1)
             l2 = l2 / np.cbrt(v2)
-        norm = 1.0  # (V/n)^(1/3) after scaling
-        f1 = np.asarray(r1.frac_coords) % 1.0
-        sp1 = np.asarray(r1.species)
-        sp2 = np.asarray(r2.species)
+            norm = 1.0  # (V/n)^(1/3) after scaling
+        else:
+            # pymatgen normalizes site RMS by the average free length
+            v1 = abs(np.linalg.det(l1)) / max(n1, 1)
+            v2 = abs(np.linalg.det(l2)) / max(n2, 1)
+            norm = float(np.cbrt(max(0.5 * (v1 + v2), 1e-12)))
         g1 = l1 @ l1.T
         for m in self._lattice_mappings(l1, l2):
             l2m = m @ l2
             gram = 0.5 * (g1 + l2m @ l2m.T)  # average metric tensor
-            f2m = (np.asarray(r2.frac_coords) @ np.linalg.inv(m)) % 1.0
+            f2m = (f2 @ np.linalg.inv(m)) % 1.0
             if self._sites_fit(gram, f1, f2m, sp1, sp2, norm):
                 return True
         return False
+
+    def fit(self, s1: Structure, s2: Structure) -> bool:
+        return self.fit_prepared(self.prepare(s1), self.prepare(s2))
 
 
 class OrderedStructureMatcher(StructureMatcher):
@@ -258,14 +273,35 @@ class OrderedStructureMatcher(StructureMatcher):
     def __init__(self, exact: ExactStructureMatcher | None = None):
         super().__init__(vtol=0.25, dtol=0.6)  # deliberately loose prefilter
         self.exact = exact or ExactStructureMatcher()
+        # prefilter slack on the unit-volume/atom-normalized spectrum when
+        # the exact fit is scale-invariant (dimensionless; 0.6 Å at a
+        # typical (V/n)^(1/3) ≈ 2.4 Å)
+        self.ndtol = 0.25
 
     def _features(self, s: Structure):
-        return (*super()._features(s), s)
+        # per-structure precompute: fingerprint for the prefilter + the
+        # Niggli-reduced arrays for the exact fit (computed once, reused
+        # across every O(N²) pair comparison)
+        return (*super()._features(s), self.exact.prepare(s))
 
     def _fit_features(self, a, b) -> bool:
-        if not super()._fit_features(a[:3], b[:3]):
+        fa, va, fpa = a[:3]
+        fb, vb, fpb = b[:3]
+        if fa != fb:
             return False
-        return self.exact.fit(a[3], b[3])
+        if self.exact.scale:
+            # scale=True matches volume-scaled copies, so the prefilter must
+            # be scale-invariant too: compare spectra normalized to unit
+            # volume/atom and skip the absolute-volume check
+            na, nb = np.cbrt(max(va, 1e-9)), np.cbrt(max(vb, 1e-9))
+            valid = (fpa < 1e5) & (fpb < 1e5)
+            if valid.any() and (
+                np.max(np.abs(fpa[valid] / na - fpb[valid] / nb)) > self.ndtol
+            ):
+                return False
+        elif not super()._fit_features(a[:3], b[:3]):
+            return False
+        return self.exact.fit_prepared(a[3], b[3])
 
     def fit(self, s1: Structure, s2: Structure) -> bool:
         return self._fit_features(self._features(s1), self._features(s2))

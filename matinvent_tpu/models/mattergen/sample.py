@@ -47,6 +47,12 @@ def register_num_atoms_distribution(name: str, hist) -> None:
     if arr.sum() <= 0:
         raise ValueError(f"histogram {name} has no mass")
     NUM_ATOMS_DISTRIBUTIONS[name] = arr / arr.sum()
+    # both sampler families share one histogram namespace: mirror into the
+    # DiffCSP registry too (models/sample.register_atom_dist mirrors the
+    # other way), so a table registered through either API resolves in both
+    from matinvent_tpu.models.sample import ATOM_DIST
+
+    ATOM_DIST[name] = NUM_ATOMS_DISTRIBUTIONS[name]
 
 
 def load_num_atoms_distributions(path: str) -> None:
@@ -58,6 +64,24 @@ def load_num_atoms_distributions(path: str) -> None:
         data = json.load(fh)
     for name, hist in data.items():
         register_num_atoms_distribution(name, hist)
+
+
+def bucket_split(
+    num_atoms: np.ndarray, size_buckets: int, max_atoms: int
+) -> tuple[list[np.ndarray], list[int]]:
+    """Sorted equal-count bucket split + per-bucket atom caps.
+
+    The single source of truth for the bucketed sampler's shapes — bench.py
+    reuses it so its FLOPs/MFU model cannot drift from what actually runs.
+    Caps round up to a multiple of 4 (coarse grid keeps the jit cache small
+    across RL iterations)."""
+    order = np.argsort(num_atoms, kind="stable")
+    cuts = np.array_split(order, size_buckets)
+    caps = [
+        min(int(np.ceil(max(int(num_atoms[idx].max()), 1) / 4) * 4), max_atoms)
+        for idx in cuts
+    ]
+    return cuts, caps
 
 
 @dataclass
@@ -194,13 +218,10 @@ class MatterGenSampler:
         jit cache stays small across RL iterations). Results are re-padded
         to ``max_atoms`` and unsorted back to draw order on device.
         """
-        nb = self.size_buckets
-        order = np.argsort(num_atoms, kind="stable")
-        cuts = np.array_split(order, nb)
+        cuts, caps_list = bucket_split(num_atoms, self.size_buckets, self.max_atoms)
         na_buckets, caps, cond_buckets = [], [], []
-        for idx in cuts:
+        for idx, cap in zip(cuts, caps_list):
             na = num_atoms[idx]
-            cap = min(int(np.ceil(max(int(na.max()), 1) / 4) * 4), self.max_atoms)
             na_buckets.append(jnp.asarray(na))
             caps.append(cap)
             cond_buckets.append(

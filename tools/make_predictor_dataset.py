@@ -23,49 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from matinvent_tpu.chem.data import OXIDATION_STATES, Z_BY_SYMBOL
+from matinvent_tpu.chem.motifs import MOTIFS, anion_pool, cation_pool
 from matinvent_tpu.chem.proxy_labels import LABEL_FNS, label_structures
 from matinvent_tpu.chem.relax import _COVALENT_RADII
 from matinvent_tpu.chem.structure import Structure, save_extxyz
 
-MOTIFS = {
-    "rocksalt": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
-    "cscl": (np.array([[0, 0, 0], [0.5, 0.5, 0.5]]), (1, 1)),
-    "fluorite": (
-        np.array([[0, 0, 0], [0.25, 0.25, 0.25], [0.75, 0.75, 0.75]]), (1, 2)
-    ),
-    "antifluorite": (
-        np.array([[0.25, 0.25, 0.25], [0.75, 0.75, 0.75], [0, 0, 0]]), (2, 1)
-    ),
-    "layered": (
-        np.array([[0, 0, 0], [0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]]),
-        (2, 2),
-    ),
-    "perovskite": (
-        np.array(
-            [[0, 0, 0], [0.5, 0.5, 0.5],
-             [0.5, 0.5, 0.0], [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]]
-        ),
-        (2, 3),
-    ),
-    "wurtzite-ish": (
-        np.array(
-            [[1 / 3, 2 / 3, 0.0], [2 / 3, 1 / 3, 0.5],
-             [1 / 3, 2 / 3, 0.38], [2 / 3, 1 / 3, 0.88]]
-        ),
-        (2, 2),
-    ),
-}
-
 
 def _element_pools():
-    cations = [
-        Z_BY_SYMBOL[s] for s, ox in OXIDATION_STATES.items()
-        if s in Z_BY_SYMBOL and Z_BY_SYMBOL[s] <= 83 and any(o > 0 for o in ox)
-    ]
-    anions = [Z_BY_SYMBOL[s] for s in ("O", "S", "Se", "Te", "F", "Cl", "Br",
-                                       "I", "N", "P", "As")]
-    return cations, anions
+    # wider anion set than the clean demo corpus: predictor training wants
+    # coverage of the heavier chalcogenides/halides/pnictides too
+    return cation_pool(), anion_pool(
+        ("O", "S", "Se", "Te", "F", "Cl", "Br", "I", "N", "P", "As")
+    )
 
 
 def motif_structure(rng: np.random.Generator) -> Structure:
