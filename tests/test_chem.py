@@ -286,3 +286,73 @@ class TestDummySpecies:
                                       np.array([[0, 0, 0], [0.5, 0.5, 0.5]]))
         assert not smact_valid(s)
         assert not structure_validity(s)
+
+
+class TestMatcherScaleInvariance:
+    """Regression tests for the r2 self-review findings: the ordered tier's
+    prefilter must be scale-invariant when the exact fit is (scale=True),
+    and scale=False must normalize site RMS by the average free length."""
+
+    def _rocksalt(self, a):
+        return Structure.from_parameters(
+            [a] * 3, [90] * 3, [11, 17],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+
+    def test_ordered_matches_volume_scaled_copy(self):
+        from matinvent_tpu.chem.matcher import OrderedStructureMatcher
+
+        m = OrderedStructureMatcher()
+        # identical motif at 1.56x volume: pymatgen scale=True matches; the
+        # old absolute-volume prefilter rejected before the exact fit ran
+        assert m.fit(self._rocksalt(5.6), self._rocksalt(6.5))
+
+    def test_ordered_rejects_different_motif(self):
+        from matinvent_tpu.chem.matcher import OrderedStructureMatcher
+
+        m = OrderedStructureMatcher()
+        other = Structure.from_parameters(
+            [5.6] * 3, [90] * 3, [11, 17],
+            np.array([[0, 0, 0], [0.5, 0.0, 0.0]]),  # touching atoms motif
+        )
+        assert not m.fit(self._rocksalt(5.6), other)
+
+    def test_scale_false_jitter_normalization(self):
+        from matinvent_tpu.chem.matcher import ExactStructureMatcher
+
+        # large cell + modest jitter: with norm hardcoded to 1.0 the raw
+        # Angstrom RMS (~0.35 A) exceeded stol=0.3; normalized by
+        # (V/n)^(1/3) ~ 4.4 A it is well inside
+        m = ExactStructureMatcher(scale=False)
+        s1 = self._rocksalt(7.0)
+        rng = np.random.default_rng(3)
+        f2 = (np.asarray(s1.frac_coords) + rng.normal(0, 0.05, (2, 3))) % 1.0
+        s2 = Structure(species=s1.species, frac_coords=f2, lattice=s1.lattice)
+        assert m.fit(s1, s2)
+
+
+def test_bucket_split_is_partition_with_aligned_caps():
+    from matinvent_tpu.models.mattergen.sample import bucket_split
+
+    rng = np.random.default_rng(0)
+    draws = rng.integers(1, 21, 64)
+    cuts, caps = bucket_split(draws, 3, 20)
+    all_idx = np.sort(np.concatenate(cuts))
+    np.testing.assert_array_equal(all_idx, np.arange(64))
+    for idx, cap in zip(cuts, caps):
+        assert cap <= 20 and (cap % 4 == 0 or cap == 20)
+        assert int(draws[idx].max()) <= cap
+
+
+def test_num_atoms_registries_mirror_both_ways():
+    from matinvent_tpu.models.mattergen.sample import (
+        NUM_ATOMS_DISTRIBUTIONS,
+        register_num_atoms_distribution,
+    )
+    from matinvent_tpu.models.sample import ATOM_DIST, register_atom_dist
+
+    register_num_atoms_distribution("_test_mg", {2: 0.5, 4: 0.5})
+    assert "_test_mg" in ATOM_DIST and "_test_mg" in NUM_ATOMS_DISTRIBUTIONS
+
+    register_atom_dist("_test_dc", [0.0, 0.0, 1.0])
+    assert "_test_dc" in ATOM_DIST and "_test_dc" in NUM_ATOMS_DISTRIBUTIONS
