@@ -25,14 +25,22 @@ import numpy as np
 from matinvent_tpu.chem.structure import Structure
 
 
-def distance_fingerprint(s: Structure, k: int = 32, tol: float = 0.05) -> np.ndarray:
+def distance_fingerprint(
+    s: Structure, k: int = 32, tol: float = 0.05, scale: float = 1.0
+) -> np.ndarray:
     """Sorted k smallest DISTINCT off-diagonal minimum-image distances.
 
     Distances are deduplicated within ``tol`` so multiplicity does not enter
     the fingerprint — an exact supercell then shares its primitive cell's
-    spectrum (same distances, higher multiplicity) and matches it."""
+    spectrum (same distances, higher multiplicity) and matches it.
+
+    ``scale``: divide distances by this BEFORE deduplication. For a
+    scale-invariant spectrum pass (V/n)^(1/3): dedup bins then land at the
+    same normalized positions for volume-scaled copies (binning absolute
+    distances and normalizing after merges/splits bins inconsistently
+    across scales)."""
     n = s.num_atoms
-    dm = s.distance_matrix()
+    dm = s.distance_matrix() / scale
     vals = dm[np.triu_indices(n, k=1)] if n > 1 else np.array([])
     vals = np.unique(np.round(np.sort(vals) / tol)) * tol
     vals = vals[:k]
@@ -279,10 +287,17 @@ class OrderedStructureMatcher(StructureMatcher):
         self.ndtol = 0.25
 
     def _features(self, s: Structure):
-        # per-structure precompute: fingerprint for the prefilter + the
-        # Niggli-reduced arrays for the exact fit (computed once, reused
-        # across every O(N²) pair comparison)
-        return (*super()._features(s), self.exact.prepare(s))
+        # per-structure precompute: fingerprint for the prefilter (in
+        # normalized-distance space when the exact fit is scale-invariant,
+        # so dedup bins align across volume-scaled copies) + the
+        # Niggli-reduced arrays for the exact fit — computed once, reused
+        # across every O(N²) pair comparison
+        base = super()._features(s)
+        if self.exact.scale:
+            norm = np.cbrt(max(s.volume / max(s.num_atoms, 1), 1e-9))
+            fp = distance_fingerprint(s, self.k, tol=0.02, scale=norm)
+            base = (base[0], base[1], fp)
+        return (*base, self.exact.prepare(s))
 
     def _fit_features(self, a, b) -> bool:
         fa, va, fpa = a[:3]
@@ -290,13 +305,11 @@ class OrderedStructureMatcher(StructureMatcher):
         if fa != fb:
             return False
         if self.exact.scale:
-            # scale=True matches volume-scaled copies, so the prefilter must
-            # be scale-invariant too: compare spectra normalized to unit
-            # volume/atom and skip the absolute-volume check
-            na, nb = np.cbrt(max(va, 1e-9)), np.cbrt(max(vb, 1e-9))
+            # scale=True matches volume-scaled copies: compare the
+            # normalized spectra and skip the absolute-volume check
             valid = (fpa < 1e5) & (fpb < 1e5)
             if valid.any() and (
-                np.max(np.abs(fpa[valid] / na - fpb[valid] / nb)) > self.ndtol
+                np.max(np.abs(fpa[valid] - fpb[valid])) > self.ndtol
             ):
                 return False
         elif not super()._fit_features(a[:3], b[:3]):

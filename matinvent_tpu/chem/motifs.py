@@ -1,5 +1,12 @@
 """Shared prototype-structure motifs + element pools for synthetic corpora.
 
+Parity context: the reference fine-tunes models pretrained on MP-20/
+Alex-MP-20 and ships no corpus generator (its data arrives through
+pretrained checkpoints, /root/reference/models/suite/mattergen.py:54-92);
+this module is the in-framework substitute that synthesizes plausible
+ionic-crystal training corpora so every demo/predictor/eval workflow runs
+without external downloads.
+
 Single source of truth for the ionic-crystal motif geometries used by the
 demo pretraining corpus (experiments/rl_demo.py), the predictor-training
 corpus (tools/make_predictor_dataset.py), and the gen_eval reference

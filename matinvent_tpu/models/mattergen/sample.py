@@ -74,9 +74,10 @@ def bucket_split(
     The single source of truth for the bucketed sampler's shapes — bench.py
     reuses it so its FLOPs/MFU model cannot drift from what actually runs.
     Caps round up to a multiple of 4 (coarse grid keeps the jit cache small
-    across RL iterations)."""
+    across RL iterations). When ``size_buckets`` exceeds the draw count the
+    empty buckets are dropped (the effective bucket count shrinks)."""
     order = np.argsort(num_atoms, kind="stable")
-    cuts = np.array_split(order, size_buckets)
+    cuts = [c for c in np.array_split(order, size_buckets) if len(c)]
     caps = [
         min(int(np.ceil(max(int(num_atoms[idx].max()), 1) / 4) * 4), max_atoms)
         for idx in cuts

@@ -356,3 +356,23 @@ def test_num_atoms_registries_mirror_both_ways():
 
     register_atom_dist("_test_dc", [0.0, 0.0, 1.0])
     assert "_test_dc" in ATOM_DIST and "_test_dc" in NUM_ATOMS_DISTRIBUTIONS
+
+
+def test_ordered_scaled_copy_with_dedup_bin_splits():
+    """Regression: the prefilter fingerprint must be computed in
+    normalized-distance space — binning absolute distances and normalizing
+    after merges/splits dedup bins inconsistently across scales (2.00/2.02 A
+    merge at a=10 but their 1.3x-scaled images split at a=13)."""
+    from matinvent_tpu.chem.matcher import (
+        ExactStructureMatcher,
+        OrderedStructureMatcher,
+    )
+
+    def mk(a):
+        return Structure.from_parameters(
+            [a] * 3, [90] * 3, [11, 17, 11, 17],
+            np.array([[0, 0, 0], [0.200, 0, 0], [0.5, 0, 0], [0.702, 0, 0]]),
+        )
+
+    assert ExactStructureMatcher().fit(mk(10), mk(13))
+    assert OrderedStructureMatcher().fit(mk(10), mk(13))
