@@ -156,6 +156,19 @@ class TestMLIPBridge:
         assert res.shape == (3,)
         assert np.isfinite(res).all() and (res > 0).all()
 
+    def test_phonon_native_fallback(self, tmp_path, strucs):
+        """heat_capacity task: the worker subprocess falls back to the
+        native Γ-point phonon workflow and returns real J/g/K values."""
+        from matinvent_tpu.chem.structure import save_extxyz
+        from matinvent_tpu.rewards.calculators.mlip import MLIPBridge
+
+        xyz = str(tmp_path / "in.extxyz")
+        save_extxyz(strucs, xyz)
+        calc = MLIPBridge(str(tmp_path), task="heat_capacity", worker=1)
+        res = calc.calc((strucs, xyz), "t0")
+        assert res.shape == (3,)
+        assert np.isfinite(res).all() and (res > 0).all() and (res < 10).all()
+
 
 class TestSynScoreTrained:
     """The shipped ensemble (weights/syn_score.npz) must load by default and
