@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from matinvent_tpu.ops.segment import graph_mean
 from matinvent_tpu.ops.wrapped_normal import d_log_p_wrapped_normal
 
 
@@ -95,14 +96,13 @@ class WrappedCoordVE:
 
 def _d3pm_tables(
     num_steps: int,
-    num_classes: int,
-    kind: str,
     beta_min: float = 1e-3,
     beta_max: float = 0.999,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cumulative transition mixing coefficients for uniform/absorbing D3PM.
 
-    For both kinds q(x_t | x_0) has closed form:
+    The linear beta schedule is shared by both kinds (the kind only changes
+    which distribution the chain mixes toward); q(x_t | x_0) has closed form:
       uniform:   abar_t * onehot(x0) + (1 - abar_t) / K
       absorbing: abar_t * onehot(x0) + (1 - abar_t) * onehot(MASK)
     Returns (betas [N+1], abar [N+1]) with index 0 = identity.
@@ -131,7 +131,7 @@ class TypeD3PM:
 
     @classmethod
     def create(cls, num_classes=100, num_steps=1000, kind="uniform"):
-        betas, abar = _d3pm_tables(num_steps, num_classes, kind)
+        betas, abar = _d3pm_tables(num_steps)
         return cls(
             num_classes=num_classes,
             num_steps=num_steps,
@@ -145,9 +145,17 @@ class TypeD3PM:
         return self.num_classes + (1 if self.kind == "absorbing" else 0)
 
     def _t_index(self, t: jax.Array) -> jax.Array:
-        """Continuous t in (0,1] -> integer step index in 1..N."""
+        """Continuous t in (0,1] -> integer step index in 1..N.
+
+        Round-to-nearest, NOT ceil: the sampler's grid linspace(1, 1/N, N)
+        places every point exactly on ceil's discontinuity, and float32
+        roundoff then lands ~37% of steps one index high (measured 368/1000
+        at N=1000) — the chain would double-visit some beta/abar entries
+        and skip others."""
         return jnp.clip(
-            jnp.ceil(t * self.num_steps).astype(jnp.int32), 1, self.num_steps
+            jnp.floor(t * self.num_steps + 0.5).astype(jnp.int32),
+            1,
+            self.num_steps,
         )
 
     def q_t_given_0(self, x0_onehot: jax.Array, t: jax.Array) -> jax.Array:
@@ -219,8 +227,6 @@ class TypeD3PM:
         (mattergen's d3pm hybrid objective, models/mattergen/loss.py:14).
         Returns [B].
         """
-        from matinvent_tpu.ops.segment import graph_mean
-
         true_post = self.posterior_logits(
             x_t, jnp.log(jax.nn.one_hot(x0, self.vocab) + 1e-20), t
         )

@@ -181,10 +181,25 @@ class MatterGenDiffusion:
     ) -> tuple[jax.Array, dict]:
         c = self.config
         preds = self.apply_net(params, noised, num_atoms, mask, conditions, cond_mask)
+        loss_cell, loss_pos, loss_types = self._field_losses(
+            preds, targets, noised, mask
+        )
+        loss = (
+            c.weight_cell * loss_cell
+            + c.weight_pos * loss_pos
+            + c.weight_types * loss_types
+        )
+        return loss, preds
 
+    def _field_losses(self, preds, targets, noised, mask):
+        """Per-crystal per-field losses — the ONE implementation shared by
+        the RL sample loss and the pretraining objective (they must never
+        diverge)."""
+        c = self.config
         loss_cell = jnp.mean((preds["cell"] - targets.eps_cell) ** 2, axis=(1, 2))
-        per_atom_pos = jnp.mean((preds["pos"] - targets.score_pos) ** 2, axis=-1)
-        loss_pos = graph_mean(per_atom_pos, mask)
+        loss_pos = graph_mean(
+            jnp.mean((preds["pos"] - targets.score_pos) ** 2, axis=-1), mask
+        )
         loss_types = self.d3pm.hybrid_loss(
             targets.x0_types,
             noised.atom_types_t,
@@ -193,12 +208,7 @@ class MatterGenDiffusion:
             mask,
             hybrid_lambda=c.d3pm_hybrid_lambda,
         )
-        loss = (
-            c.weight_cell * loss_cell
-            + c.weight_pos * loss_pos
-            + c.weight_types * loss_types
-        )
-        return loss, preds
+        return loss_cell, loss_pos, loss_types
 
     def kl_reg(self, agent_pred: dict, prior_pred: dict, mask: jax.Array) -> jax.Array:
         prior_pred = jax.tree.map(jax.lax.stop_gradient, prior_pred)
@@ -278,14 +288,8 @@ class MatterGenDiffusion:
         preds = self.apply_net(
             params, noised, batch.num_atoms, batch.mask, conditions, cond_mask
         )
-        mask = batch.mask
-        loss_cell = jnp.mean((preds["cell"] - targets.eps_cell) ** 2, axis=(1, 2))
-        loss_pos = graph_mean(
-            jnp.mean((preds["pos"] - targets.score_pos) ** 2, axis=-1), mask
-        )
-        loss_types = self.d3pm.hybrid_loss(
-            targets.x0_types, noised.atom_types_t, preds["atomic_numbers"],
-            noised.t, mask, hybrid_lambda=c.d3pm_hybrid_lambda,
+        loss_cell, loss_pos, loss_types = self._field_losses(
+            preds, targets, noised, batch.mask
         )
         loss = jnp.mean(
             c.weight_cell * loss_cell
@@ -305,7 +309,9 @@ class MatterGenDiffusion:
 
         Runs on the sampling-dtype net variant (bf16 when configured)."""
         net = self.sample_net
-        if conditions is None or guidance == 0.0:
+        if not conditions or guidance == 0.0:
+            # empty dict guards too: (1+g)x - gx = x but would cost a
+            # second identical net eval per step
             return self.apply_net(params, noised, num_atoms, mask, conditions, net=net)
         cond_preds = self.apply_net(
             params, noised, num_atoms, mask, conditions, net=net
@@ -485,6 +491,10 @@ class MatterGenDiffusion:
         chain (reference CSP mode, models/mattergen/sample.py:160-177) and
         only cell/coords diffuse."""
         A = int(max_atoms) if max_atoms is not None else 20
+        # clamp to the padded atom axis: num_atoms is traced (no host-side
+        # assert possible under jit), and a draw above the cap would return
+        # CrystalBatch metadata claiming more atoms than the batch holds
+        num_atoms = jnp.minimum(num_atoms, A)
         state, mask, sigma_lim, k_scan = self._sample_init(
             key, num_atoms, A, fixed_types
         )
@@ -528,6 +538,12 @@ class MatterGenDiffusion:
         Returns: list of CrystalBatch, one per bucket.
         """
         n_b = len(num_atoms_buckets)
+        # same self-consistency clamp as sample(): metadata never exceeds
+        # the bucket's padded atom axis
+        num_atoms_buckets = tuple(
+            jnp.minimum(na, int(cap))
+            for na, cap in zip(num_atoms_buckets, bucket_max_atoms)
+        )
         conds = conditions_buckets or (None,) * n_b
         inits = []
         for bi in range(n_b):
