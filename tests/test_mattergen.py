@@ -356,3 +356,17 @@ class TestNumAtomsDistributionHooks:
         )
         draws = s._draw_num_atoms(500)
         assert set(np.unique(draws)) <= {2, 6}
+
+
+def test_d3pm_t_index_exact_on_sampler_grid():
+    """Regression: every point of the sampler's grid linspace(1, 1/N, N)
+    must map to its exact integer step — ceil(t*N) was off by +1 on ~37% of
+    steps (float32 places grid points exactly on ceil's discontinuity)."""
+    from matinvent_tpu.models.mattergen.corruption import TypeD3PM
+
+    for N in (100, 250, 500, 1000):
+        d3pm = TypeD3PM.create(num_classes=10, num_steps=N)
+        grid = jnp.linspace(1.0, 1.0 / N, N)
+        idx = np.asarray(d3pm._t_index(grid))
+        expected = np.arange(N, 0, -1)
+        np.testing.assert_array_equal(idx, expected)
