@@ -147,8 +147,8 @@ class DiffCSPDiffusion:
             num_atoms, mask,
         )
 
-    def apply_net(self, params, noised: NoisedInput, num_atoms, mask):
-        return self.net.apply(
+    def apply_net(self, params, noised: NoisedInput, num_atoms, mask, net=None):
+        return (net or self.net).apply(
             params,
             noised.time_emb,
             noised.atom_probs,
@@ -194,6 +194,12 @@ class DiffCSPDiffusion:
         input_lattice = c0[:, None, None] * batch.lattice + c1[:, None, None] * rand_l
         sigmas_per_atom = sigmas[:, None, None]
         input_frac = (batch.frac_coords + sigmas_per_atom * rand_x) % 1.0
+        # fixed-field modes (reference diffusion.py:99-104): cost < 1e-5
+        # marks a field as frozen — train and sample with the ground truth
+        if self.keep_lattice:
+            input_lattice = batch.lattice
+        if self.keep_coords:
+            input_frac = batch.frac_coords
 
         gt_onehot = batch.atom_onehot(c.max_atomic_num)
         rand_t = jax.random.normal(k_type, gt_onehot.shape)
@@ -253,7 +259,7 @@ class DiffCSPDiffusion:
         t_index: jax.Array,
         sigma_kl: float,
         conditions=None,
-    ) -> jax.Array:
+    ) -> tuple[jax.Array, tuple]:
         """Reward-weighted diffusion loss + KL regularizer at one timestep.
 
         Mirrors the reference inner finetune expression
@@ -322,13 +328,14 @@ class DiffCSPDiffusion:
         pred_l, pred_x, pred_t = self.apply_net(params, noised, batch.num_atoms, mask)
 
         loss_lattice = jnp.mean((pred_l - targets.rand_l) ** 2)
+        # reference F.mse_loss = PER-ELEMENT mean: normalize by valid atoms
+        # x components-per-field (N*3 coords, N*K type logits) — dividing by
+        # N alone silently reweighted the fields 1:3:100
         m3 = mask[..., None]
-        loss_coord = jnp.sum(((pred_x - targets.tar_x) ** 2) * m3) / jnp.maximum(
-            jnp.sum(m3) * 1.0, 1.0
-        )
-        mK = mask[..., None]
-        loss_type = jnp.sum(((pred_t - targets.rand_t) ** 2) * mK) / jnp.maximum(
-            jnp.sum(mK) * 1.0, 1.0
+        n_valid = jnp.maximum(jnp.sum(m3) * 1.0, 1.0)
+        loss_coord = jnp.sum(((pred_x - targets.tar_x) ** 2) * m3) / (n_valid * 3.0)
+        loss_type = jnp.sum(((pred_t - targets.rand_t) ** 2) * m3) / (
+            n_valid * c.max_atomic_num
         )
         loss = (
             c.cost_lattice * loss_lattice
@@ -372,14 +379,22 @@ class DiffCSPDiffusion:
         sigma_x = self.sigma.sigmas[t][:, None, None]
         sigma_norm_t = self.sigma.sigmas_norm[t][:, None, None]
 
+        # the recorded (behavior-policy) log-probs were computed from the
+        # SAMPLING net variant (bf16 when sample_dtype is bfloat16); the
+        # replay must evaluate the same variant or PPO importance ratios
+        # start away from 1 at identical params purely from dtype rounding
+        def eval_net(noised):
+            preds = self.apply_net(
+                params, noised, num_atoms, mask, net=self.sample_net
+            )
+            return jax.tree.map(lambda o: o.astype(jnp.float32), preds)
+
         # Corrector log-prob
         step_size = step_lr * (sigma_x / c.sigma_begin) ** 2
         std_x = jnp.sqrt(2 * step_size)
-        _, pred_x_corr, _ = self.apply_net(
-            params,
+        _, pred_x_corr, _ = eval_net(
             NoisedInput(time_emb, state["atom_types"], state["frac_coords"],
                         state["lattices"]),
-            num_atoms, mask,
         )
         pred_x_s = pred_x_corr * jnp.sqrt(sigma_norm_t)
         x_mu_corr = (state["frac_coords"] - step_size * pred_x_s) % 1.0
@@ -397,11 +412,9 @@ class DiffCSPDiffusion:
             jnp.maximum(adjacent_sigma_x**2 * p_step, 0.0)
             / jnp.maximum(sigma_x**2, 1e-12)
         )
-        pred_l, pred_x_pred, pred_t = self.apply_net(
-            params,
+        pred_l, pred_x_pred, pred_t = eval_net(
             NoisedInput(time_emb, state["atom_types"], state["frac_coords_mid"],
                         state["lattices"]),
-            num_atoms, mask,
         )
         pred_x_s = pred_x_pred * jnp.sqrt(sigma_norm_t)
         x_mu_pred = (state["frac_coords_mid"] - p_step * pred_x_s) % 1.0
@@ -436,6 +449,8 @@ class DiffCSPDiffusion:
         max_atoms: int | None = None,
         step_lr: float = 5e-6,
         record_traj: bool = False,
+        fixed_lattice: jax.Array | None = None,  # [B,3,3]; needs keep_lattice
+        fixed_coords: jax.Array | None = None,  # [B,A,3]; needs keep_coords
     ):
         """Predictor-corrector ancestral sampling (diffusion.py:273-399 parity)
         as one ``lax.scan`` over t = T..1 inside jit.
@@ -448,12 +463,24 @@ class DiffCSPDiffusion:
         c = self.config
         B = num_atoms.shape[0]
         A = int(max_atoms) if max_atoms is not None else 20
+        # clamp to the padded atom axis: num_atoms is traced (no host-side
+        # assert under jit) and a draw above the cap would return metadata
+        # claiming more atoms than the batch holds
+        num_atoms = jnp.minimum(num_atoms, A)
         mask = jnp.arange(A)[None, :] < num_atoms[:, None]
 
         k_x, k_l, k_t, k_scan = jax.random.split(key, 4)
         x = jax.random.uniform(k_x, (B, A, 3))
         l = jax.random.normal(k_l, (B, 3, 3))
         tt = jax.random.normal(k_t, (B, A, c.max_atomic_num))
+        # fixed-field modes (reference diffusion.py:283-349: keep_lattice /
+        # keep_coords hold the ground truth through the whole chain)
+        hold_l = self.keep_lattice and fixed_lattice is not None
+        hold_x = self.keep_coords and fixed_coords is not None
+        if hold_l:
+            l = fixed_lattice
+        if hold_x:
+            x = fixed_coords
 
         beta, sigma = self.beta, self.sigma
         sigma_begin = c.sigma_begin
@@ -492,6 +519,9 @@ class DiffCSPDiffusion:
             pred_l, pred_x, pred_t = eval_net(time_emb, t_t, x_t, l_t)
             pred_x = pred_x * jnp.sqrt(sigma_norm_t)
             x_half = x_t - step_size * pred_x + std_x * rand_x_c
+            if hold_x:
+                x_half = x_t  # frozen coords: the corrector is a no-op and
+                # the predictor must see the fixed coords
             x_mu_corr = (x_t - step_size * pred_x) % 1.0
 
             # Predictor (ancestral DDPM on lattice/types, VE-SDE on coords)
@@ -510,6 +540,10 @@ class DiffCSPDiffusion:
             if c.sample_clip is not None:
                 l_next = jnp.clip(l_next, -c.sample_clip, c.sample_clip)
                 t_next = jnp.clip(t_next, -c.sample_clip, c.sample_clip)
+            if hold_l:
+                l_next = l_t
+            if hold_x:
+                x_next = x_t
 
             if record_traj:
                 # log-probs of the realized transition (DDPO bookkeeping,

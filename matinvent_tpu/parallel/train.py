@@ -95,10 +95,14 @@ class FinetuneStep:
             chunk_step, (params, opt_state), jnp.arange(self.n_chunks)
         )
         loss_diff_sum, loss_kl_sum = auxes
+        # per-sample per-timestep means, matching the reference's logged
+        # loss_diff_all/len(data_list) (mat_invent.py:173-176) so curves are
+        # directly comparable
+        B = jnp.maximum(rewards.shape[0], 1)
         metrics = dict(
             loss=jnp.mean(losses),
-            loss_diff=jnp.sum(loss_diff_sum) / self.timesteps,
-            loss_kl=jnp.sum(loss_kl_sum) / self.timesteps,
+            loss_diff=jnp.sum(loss_diff_sum) / (self.timesteps * B),
+            loss_kl=jnp.sum(loss_kl_sum) / (self.timesteps * B),
         )
         return params, opt_state, metrics
 
@@ -179,6 +183,11 @@ class DDPOFinetuneStep:
         advantages: jax.Array,  # [B]
     ):
         T = traj["timestep"].shape[0]
+        if T % self.chunk:
+            raise ValueError(
+                f"trajectory length {T} not divisible by chunk={self.chunk}; "
+                "the trailing transitions would be silently dropped"
+            )
         n_chunks = T // self.chunk
         old_lp = traj["log_prob_l"] + traj["log_prob_t"] + traj["log_prob_x"]
 
@@ -202,13 +211,17 @@ class DDPOFinetuneStep:
                 lp_l, lp_t, lp_x, _ = self.diffusion.forward_logprob(
                     p, state, mask, self.step_lr
                 )
-                return lp_l + lp_t + lp_x, old_lp[i]
+                return lp_l + lp_t + lp_x, old_lp[i], traj["timestep"][i]
 
-            new_lp, old = jax.vmap(one_step)(idx)  # [C, B]
+            new_lp, old, t_step = jax.vmap(one_step)(idx)  # [C, B], [C]
             ratio = jnp.exp(jnp.clip(new_lp - old, -20.0, 20.0))
             clipped = jnp.clip(ratio, 1.0 - self.clip_eps, 1.0 + self.clip_eps)
             obj = jnp.minimum(ratio * advantages, clipped * advantages)
-            return -jnp.mean(obj)
+            # the t=1 transition has zero posterior/corrector stds (the
+            # reference records log-probs only for t > 1, diffusion.py:355):
+            # its replay log-probs are degenerate, so mask it out
+            w = (t_step > 1).astype(obj.dtype)[:, None]
+            return -jnp.sum(obj * w) / jnp.maximum(jnp.sum(w) * obj.shape[1], 1.0)
 
         def chunk_step(carry, c):
             p, o = carry
@@ -225,6 +238,10 @@ class DDPOFinetuneStep:
     def run(self, params, traj, num_atoms, mask, rewards, baseline=None):
         adv = rewards - (baseline if baseline is not None else jnp.mean(rewards))
         if self.adv_norm:
+            # full standardization: center (an explicit baseline can leave a
+            # constant offset which near-zero std would amplify to huge
+            # uniform advantages) then scale
+            adv = adv - jnp.mean(adv)
             adv = adv / (jnp.std(adv) + 1e-6)
         opt_state = self.optimizer.init(params)
         loss = 0.0

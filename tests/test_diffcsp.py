@@ -281,3 +281,73 @@ class TestDDPO:
             )
         )
         assert delta > 0
+
+
+class TestFixedFieldModes:
+    """keep_lattice/keep_coords (reference diffusion.py:99-104, 283-349):
+    cost < 1e-5 freezes a field through add_noise AND the sampling chain."""
+
+    def test_keep_lattice_add_noise_and_sample(self):
+        cfg = DiffCSPConfig(
+            hidden_dim=16, num_layers=1, time_dim=8, timesteps=6,
+            cost_lattice=0.0,
+        )
+        d = DiffCSPDiffusion(cfg)
+        assert d.keep_lattice and not d.keep_coords
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        batch = make_batch(jax.random.PRNGKey(1), B=3, A=4)
+        noised, _, _ = d.add_noise(jax.random.PRNGKey(2), batch, t_index=0)
+        np.testing.assert_allclose(
+            np.asarray(noised.lattice), np.asarray(batch.lattice)
+        )
+        fixed_l = jnp.eye(3)[None].repeat(3, 0) * 5.0
+        final, _ = d.sample(
+            params, jax.random.PRNGKey(3), batch.num_atoms, max_atoms=4,
+            fixed_lattice=fixed_l,
+        )
+        np.testing.assert_allclose(np.asarray(final.lattice), np.asarray(fixed_l))
+
+    def test_keep_coords_sample_holds_positions(self):
+        cfg = DiffCSPConfig(
+            hidden_dim=16, num_layers=1, time_dim=8, timesteps=6,
+            cost_coord=0.0,
+        )
+        d = DiffCSPDiffusion(cfg)
+        assert d.keep_coords
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        batch = make_batch(jax.random.PRNGKey(1), B=3, A=4)
+        final, _ = d.sample(
+            params, jax.random.PRNGKey(3), batch.num_atoms, max_atoms=4,
+            fixed_coords=batch.frac_coords,
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.frac_coords), np.asarray(batch.frac_coords % 1.0),
+            atol=1e-6,
+        )
+
+
+def test_training_loss_per_element_normalization(tiny_diffusion, tiny_params):
+    """Reference F.mse_loss is a per-ELEMENT mean: the reported
+    loss_coord/loss_type must equal the masked per-element means (old code
+    divided by atom count only, inflating coords 3x and types 100x)."""
+    batch = make_batch(jax.random.PRNGKey(5))
+    d = tiny_diffusion
+    key = jax.random.PRNGKey(6)
+    _, aux = d.training_loss(tiny_params, batch, key)
+    # training_loss corrupts with the same key directly: recompute by hand
+    noised, targets, _ = d.add_noise(key, batch, t_index=None)
+    pred_l, pred_x, pred_t = d.apply_net(
+        tiny_params, noised, batch.num_atoms, batch.mask
+    )
+    mask = np.asarray(batch.mask)
+    n = mask.sum()
+    lc = np.sum(np.asarray((pred_x - targets.tar_x) ** 2) * mask[..., None]) / (
+        n * 3
+    )
+    lt = np.sum(np.asarray((pred_t - targets.rand_t) ** 2) * mask[..., None]) / (
+        n * d.config.max_atomic_num
+    )
+    ll = np.mean(np.asarray((pred_l - targets.rand_l) ** 2))
+    np.testing.assert_allclose(float(aux["loss_coord"]), lc, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["loss_type"]), lt, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["loss_lattice"]), ll, rtol=1e-5)
