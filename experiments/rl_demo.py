@@ -96,7 +96,12 @@ def main(argv: list[str]) -> None:
     # chains fine
     timesteps = int(kv.get("timesteps", 100 if family == "mattergen" else 1000))
     epochs = int(kv.get("epochs", 3))
-    accum = int(kv.get("accum", 25))
+    # DiffCSP runs at the reference T=1000: accum 50 (20 updates/epoch) is
+    # the validated-stable reference operating point — 25 doubles the
+    # update count and the finetune walks off the valid manifold within
+    # ~15 iterations (A/B'd on-chip). MatterGen's short-chain runs are
+    # robust at 25.
+    accum = int(kv.get("accum", 25 if family == "mattergen" else 50))
     sigma = float(kv.get("sigma", 0.1))
     batch = int(kv.get("batch", 128))
     mode = kv.get("mode", "reward_weighted")

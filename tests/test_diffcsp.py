@@ -326,10 +326,11 @@ class TestFixedFieldModes:
         )
 
 
-def test_training_loss_per_element_normalization(tiny_diffusion, tiny_params):
-    """Reference F.mse_loss is a per-ELEMENT mean: the reported
-    loss_coord/loss_type must equal the masked per-element means (old code
-    divided by atom count only, inflating coords 3x and types 100x)."""
+def test_training_loss_per_atom_normalization(tiny_diffusion, tiny_params):
+    """Pretraining fields are normalized per ATOM (a deliberate 1:3:K
+    composition-heavy weighting relative to per-element means — see the
+    training_loss docstring; per-element 1:1:1 was A/B'd and collapses the
+    demo). Pin the formulas against a hand recomputation at the same key."""
     batch = make_batch(jax.random.PRNGKey(5))
     d = tiny_diffusion
     key = jax.random.PRNGKey(6)
@@ -341,12 +342,8 @@ def test_training_loss_per_element_normalization(tiny_diffusion, tiny_params):
     )
     mask = np.asarray(batch.mask)
     n = mask.sum()
-    lc = np.sum(np.asarray((pred_x - targets.tar_x) ** 2) * mask[..., None]) / (
-        n * 3
-    )
-    lt = np.sum(np.asarray((pred_t - targets.rand_t) ** 2) * mask[..., None]) / (
-        n * d.config.max_atomic_num
-    )
+    lc = np.sum(np.asarray((pred_x - targets.tar_x) ** 2) * mask[..., None]) / n
+    lt = np.sum(np.asarray((pred_t - targets.rand_t) ** 2) * mask[..., None]) / n
     ll = np.mean(np.asarray((pred_l - targets.rand_l) ** 2))
     np.testing.assert_allclose(float(aux["loss_coord"]), lc, rtol=1e-5)
     np.testing.assert_allclose(float(aux["loss_type"]), lt, rtol=1e-5)
