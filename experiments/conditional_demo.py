@@ -120,8 +120,12 @@ def main(argv: list[str]) -> None:
             row = dict(
                 target=round(float(target), 3),
                 guidance=guidance,
-                sampled_density_mean=round(float(got.mean()), 3),
-                sampled_density_std=round(float(got.std()), 3),
+                sampled_density_mean=(
+                    round(float(got.mean()), 3) if got.size else None
+                ),
+                sampled_density_std=(
+                    round(float(got.std()), 3) if got.size else None
+                ),
                 n=int(got.size),
             )
             results.append(row)

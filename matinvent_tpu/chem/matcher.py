@@ -306,9 +306,14 @@ class OrderedStructureMatcher(StructureMatcher):
             return False
         if self.exact.scale:
             # scale=True matches volume-scaled copies: compare the
-            # normalized spectra and skip the absolute-volume check
+            # normalized spectra and skip the absolute-volume check.
+            # Only comparable when both spectra resolved the same number of
+            # distinct distances — a jittered duplicate can merge/split a
+            # bin, shifting every later slot, so a count mismatch falls
+            # through to the exact fit instead of rejecting
+            na, nb = int((fpa < 1e5).sum()), int((fpb < 1e5).sum())
             valid = (fpa < 1e5) & (fpb < 1e5)
-            if valid.any() and (
+            if na == nb and valid.any() and (
                 np.max(np.abs(fpa[valid] - fpb[valid])) > self.ndtol
             ):
                 return False

@@ -483,7 +483,33 @@ class DiffCSPDiffusion:
         l = jax.random.normal(k_l, (B, 3, 3))
         tt = jax.random.normal(k_t, (B, A, c.max_atomic_num))
         # fixed-field modes (reference diffusion.py:283-349: keep_lattice /
-        # keep_coords hold the ground truth through the whole chain)
+        # keep_coords hold the ground truth through the whole chain).
+        # Misconfiguration must fail loudly: a fixed field without the
+        # matching keep_* flag would be silently ignored, and keep_* without
+        # a fixed value would diffuse that field from noise with a net
+        # trained with zero loss signal on it.
+        if fixed_lattice is not None and not self.keep_lattice:
+            raise ValueError(
+                "fixed_lattice passed but keep_lattice is off "
+                "(cost_lattice >= 1e-5); the fixed lattice would be ignored"
+            )
+        if fixed_coords is not None and not self.keep_coords:
+            raise ValueError(
+                "fixed_coords passed but keep_coords is off "
+                "(cost_coord >= 1e-5); the fixed coords would be ignored"
+            )
+        if self.keep_lattice and fixed_lattice is None:
+            raise ValueError(
+                "keep_lattice is on (cost_lattice < 1e-5) but no fixed_lattice "
+                "was provided; the reference substitutes ground truth in keep "
+                "mode (diffusion.py:283-349)"
+            )
+        if self.keep_coords and fixed_coords is None:
+            raise ValueError(
+                "keep_coords is on (cost_coord < 1e-5) but no fixed_coords "
+                "was provided; the reference substitutes ground truth in keep "
+                "mode (diffusion.py:283-349)"
+            )
         hold_l = self.keep_lattice and fixed_lattice is not None
         hold_x = self.keep_coords and fixed_coords is not None
         if hold_l:

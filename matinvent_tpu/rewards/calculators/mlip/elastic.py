@@ -58,12 +58,19 @@ def main() -> None:
                   cell=s.lattice, pbc=True)
             for s in structures
         ]
+        print("[mlip/elastic] backend: quacc MLIP (eSEN-30M-OAM)",
+              file=sys.stderr)
         if n_workers > 1:
             with ProcessPoolExecutor(max_workers=n_workers) as pool:
                 results = list(pool.map(bulk_task, atoms_list))
         else:
             results = [bulk_task(a) for a in atoms_list]
     except ImportError:
+        # the fallback must announce itself: a misconfigured production env
+        # (broken quacc install) would otherwise get screening-grade numbers
+        # with no indication
+        print("[mlip/elastic] backend: native soft-sphere E(V) fallback "
+              "(quacc not importable; screening-grade)", file=sys.stderr)
         # native fallback: E(V) curvature on the in-tree pair potential
         # (chem/phonon.py) — keeps the bulk-modulus MLIP reward runnable
         # end to end with zero external dependencies

@@ -325,6 +325,32 @@ class TestFixedFieldModes:
             atol=1e-6,
         )
 
+    def test_misconfigured_fixed_fields_raise(self):
+        """A fixed field without the keep_* flag (or keep_* without a fixed
+        value) must raise, not silently no-op / diffuse from noise."""
+        import pytest
+
+        batch = make_batch(jax.random.PRNGKey(1), B=2, A=4)
+        fixed_l = jnp.eye(3)[None].repeat(2, 0) * 5.0
+
+        plain = DiffCSPDiffusion(DiffCSPConfig(
+            hidden_dim=16, num_layers=1, time_dim=8, timesteps=6))
+        params = plain.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        with pytest.raises(ValueError, match="keep_lattice is off"):
+            plain.sample(params, jax.random.PRNGKey(3), batch.num_atoms,
+                         max_atoms=4, fixed_lattice=fixed_l)
+        with pytest.raises(ValueError, match="keep_coords is off"):
+            plain.sample(params, jax.random.PRNGKey(3), batch.num_atoms,
+                         max_atoms=4, fixed_coords=batch.frac_coords)
+
+        keep_l = DiffCSPDiffusion(DiffCSPConfig(
+            hidden_dim=16, num_layers=1, time_dim=8, timesteps=6,
+            cost_lattice=0.0))
+        params_l = keep_l.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        with pytest.raises(ValueError, match="no fixed_lattice"):
+            keep_l.sample(params_l, jax.random.PRNGKey(3), batch.num_atoms,
+                          max_atoms=4)
+
 
 def test_training_loss_per_atom_normalization(tiny_diffusion, tiny_params):
     """Pretraining fields are normalized per ATOM (a deliberate 1:3:K
