@@ -10,12 +10,15 @@ Provenance:
 * ``ELECTRONEGATIVITY`` — Pauling scale (public data).
 * ``OXIDATION_STATES`` — common oxidation states (ICSD-style list, as used by
   SMACT-like charge-balance screens).
-* ``CRUSTAL_ABUNDANCE_PPM`` — CRC Handbook crustal abundances (ppm by mass).
-* ``HHI_RESERVE`` and ``ELEMENT_PRICE_USD_PER_KG`` — approximate values in the
-  spirit of Gaultois et al. 2013 (HHI) and public commodity price surveys.
-  These two tables are *screening-grade placeholders*: they preserve the
-  ordering/magnitude structure the rewards need, and can be overridden by
-  dropping a CSV next to this module (see ``load_table_override``).
+* ``CRUSTAL_ABUNDANCE_PPM`` — CRC Handbook crustal abundances (ppm by mass),
+  the same published dataset SMACT's ``crustal_abundance`` carries.
+* ``HHI_PRODUCTION`` / ``HHI_RESERVE`` — Gaultois et al., Chem. Mater. 2013,
+  25, 2911-2920 (the dataset pymatgen's ``HHIModel`` ships). Transcribed
+  from the published table.
+* ``ELEMENT_PRICE_USD_PER_KG`` — in-code values are a public commodity-price
+  survey approximation; the vendored ``element_price.csv`` (the reference's
+  public table) overrides them at import (see ``load_table_override``).
+All tables accept CSV overrides next to this module.
 """
 from __future__ import annotations
 
@@ -138,26 +141,51 @@ CRUSTAL_ABUNDANCE_PPM = {
     "Ru": 0.001, "Rh": 0.001, "Te": 0.001, "Re": 0.0007,
 }
 
-# Herfindahl-Hirschman Index of geological reserves (0..10000, higher = more
-# concentrated supply). Screening-grade approximations of the Gaultois 2013
-# dataset pymatgen ships; override with hhi_reserve.csv for production use.
+# Herfindahl-Hirschman Index of elemental supply concentration (0..10000,
+# higher = more concentrated/riskier supply), from Gaultois et al.,
+# Chem. Mater. 2013, 25, 2911-2920 — the published dataset pymatgen's
+# HHIModel ships (the reference reads it via get_hhi_reserve,
+# /root/reference/rewards/calculators/pymatgen/calc.py:57-73). Transcribed
+# from the published table; elements absent from the dataset (noble gases,
+# Tc, Pm, actinides) are deliberately missing so compositions containing
+# them degrade to NaN like pymatgen's None. Override with hhi_reserve.csv /
+# hhi_production.csv for a licensed refresh.
+HHI_PRODUCTION = {
+    "H": 1200.0, "Li": 2900.0, "Be": 8000.0, "B": 2900.0, "C": 500.0,
+    "N": 1300.0, "O": 500.0, "F": 7000.0, "Na": 1100.0, "Mg": 5300.0,
+    "Al": 1600.0, "Si": 4700.0, "P": 2000.0, "S": 700.0, "Cl": 1500.0,
+    "K": 1700.0, "Ca": 3900.0, "Sc": 5500.0, "Ti": 1100.0, "V": 3300.0,
+    "Cr": 3100.0, "Mn": 1600.0, "Fe": 2400.0, "Co": 3100.0, "Ni": 1000.0,
+    "Cu": 1600.0, "Zn": 1600.0, "Ga": 5500.0, "Ge": 5300.0, "As": 3300.0,
+    "Se": 2200.0, "Br": 3300.0, "Rb": 6000.0, "Sr": 4200.0, "Y": 9800.0,
+    "Zr": 3400.0, "Nb": 8500.0, "Mo": 2400.0, "Ru": 3200.0, "Rh": 3200.0,
+    "Pd": 3200.0, "Ag": 1200.0, "Cd": 1700.0, "In": 3300.0, "Sn": 2600.0,
+    "Sb": 7900.0, "Te": 2900.0, "I": 4900.0, "Cs": 6000.0, "Ba": 3000.0,
+    "La": 9500.0, "Ce": 9500.0, "Pr": 9500.0, "Nd": 9500.0, "Sm": 9500.0,
+    "Eu": 9500.0, "Gd": 9500.0, "Tb": 9500.0, "Dy": 9500.0, "Ho": 9500.0,
+    "Er": 9500.0, "Tm": 9500.0, "Yb": 9500.0, "Lu": 9500.0, "Hf": 3400.0,
+    "Ta": 2300.0, "W": 7000.0, "Re": 3300.0, "Os": 5500.0, "Ir": 5500.0,
+    "Pt": 5500.0, "Au": 1100.0, "Hg": 5500.0, "Tl": 6500.0, "Pb": 2700.0,
+    "Bi": 5300.0,
+}
+
 HHI_RESERVE = {
-    "H": 500.0, "Li": 2900.0, "Be": 4100.0, "B": 2900.0, "C": 500.0,
+    "H": 500.0, "Li": 4200.0, "Be": 4000.0, "B": 2300.0, "C": 500.0,
     "N": 500.0, "O": 500.0, "F": 1500.0, "Na": 500.0, "Mg": 500.0,
-    "Al": 1600.0, "Si": 500.0, "P": 5100.0, "S": 700.0, "Cl": 1500.0,
-    "K": 1700.0, "Ca": 1500.0, "Sc": 4500.0, "Ti": 1100.0, "V": 3300.0,
-    "Cr": 3100.0, "Mn": 1700.0, "Fe": 1400.0, "Co": 2700.0, "Ni": 1500.0,
-    "Cu": 1600.0, "Zn": 1900.0, "Ga": 1900.0, "Ge": 1900.0, "As": 4000.0,
-    "Se": 2200.0, "Br": 3300.0, "Rb": 6000.0, "Sr": 3000.0, "Y": 2600.0,
-    "Zr": 2600.0, "Nb": 8900.0, "Mo": 2400.0, "Ru": 8000.0, "Rh": 8000.0,
-    "Pd": 3400.0, "Ag": 1400.0, "Cd": 1300.0, "In": 2000.0, "Sn": 1600.0,
-    "Sb": 3400.0, "Te": 2900.0, "I": 4900.0, "Cs": 6000.0, "Ba": 2300.0,
+    "Al": 1000.0, "Si": 1000.0, "P": 5100.0, "S": 1000.0, "Cl": 1500.0,
+    "K": 7200.0, "Ca": 1500.0, "Sc": 4500.0, "Ti": 1600.0, "V": 3400.0,
+    "Cr": 4100.0, "Mn": 1800.0, "Fe": 1400.0, "Co": 2700.0, "Ni": 1500.0,
+    "Cu": 1500.0, "Zn": 1900.0, "Ga": 1900.0, "Ge": 1900.0, "As": 4000.0,
+    "Se": 2100.0, "Br": 6900.0, "Rb": 6000.0, "Sr": 3000.0, "Y": 2600.0,
+    "Zr": 2600.0, "Nb": 8800.0, "Mo": 5300.0, "Ru": 8000.0, "Rh": 8000.0,
+    "Pd": 8000.0, "Ag": 1400.0, "Cd": 1300.0, "In": 2000.0, "Sn": 1600.0,
+    "Sb": 3400.0, "Te": 4900.0, "I": 4800.0, "Cs": 6000.0, "Ba": 2300.0,
     "La": 3100.0, "Ce": 3100.0, "Pr": 3100.0, "Nd": 3100.0, "Sm": 3100.0,
     "Eu": 3100.0, "Gd": 3100.0, "Tb": 3100.0, "Dy": 3100.0, "Ho": 3100.0,
-    "Er": 3100.0, "Tm": 3100.0, "Yb": 3100.0, "Lu": 3100.0, "Hf": 3400.0,
-    "Ta": 2300.0, "W": 5300.0, "Re": 3300.0, "Os": 5500.0, "Ir": 5500.0,
-    "Pt": 5500.0, "Au": 1100.0, "Hg": 3100.0, "Tl": 6500.0, "Pb": 2700.0,
-    "Bi": 5300.0, "Th": 1400.0, "U": 1500.0,
+    "Er": 3100.0, "Tm": 3100.0, "Yb": 3100.0, "Lu": 3100.0, "Hf": 2600.0,
+    "Ta": 4800.0, "W": 4200.0, "Re": 3300.0, "Os": 9100.0, "Ir": 9100.0,
+    "Pt": 9100.0, "Au": 1000.0, "Hg": 3100.0, "Tl": 6500.0, "Pb": 1800.0,
+    "Bi": 6000.0,
 }
 
 # Approximate element prices in USD/kg (screening-grade; override with
@@ -198,5 +226,6 @@ def load_table_override(name: str, table: dict) -> dict:
     return out
 
 
+HHI_PRODUCTION = load_table_override("hhi_production", HHI_PRODUCTION)
 HHI_RESERVE = load_table_override("hhi_reserve", HHI_RESERVE)
 ELEMENT_PRICE_USD_PER_KG = load_table_override("element_price", ELEMENT_PRICE_USD_PER_KG)

@@ -48,6 +48,36 @@ class TestCalculators:
         assert np.isnan(calc_hhi([s]))[0]
         assert np.isnan(calc_price([s]))[0]
 
+    def test_hhi_gaultois_spot_values(self):
+        """Spot-check the vendored Gaultois 2013 HHI tables against
+        well-published values (the dataset pymatgen's HHIModel ships;
+        reference path rewards/calculators/pymatgen/calc.py:57-73)."""
+        from matinvent_tpu.chem.data import HHI_PRODUCTION, HHI_RESERVE
+
+        # rare earths: production ~monopolized (9500), reserves spread (3100)
+        for el in ("La", "Ce", "Nd", "Dy"):
+            assert HHI_PRODUCTION[el] == 9500.0
+            assert HHI_RESERVE[el] == 3100.0
+        assert HHI_RESERVE["Co"] == 2700.0
+        assert HHI_RESERVE["Li"] == 4200.0
+        assert HHI_RESERVE["Nb"] == 8800.0
+        assert HHI_RESERVE["Pt"] == 9100.0
+        assert HHI_PRODUCTION["Nb"] == 8500.0
+        # NaCl molar-fraction weighting through the calculator
+        hhi = calc_hhi([make_struc([11, 17])])[0]
+        assert hhi == (HHI_RESERVE["Na"] + HHI_RESERVE["Cl"]) / 2
+
+    def test_crustal_abundance_crc_spot_values(self):
+        """CRC Handbook crustal abundances (ppm by mass) — the published
+        dataset SMACT's crustal_abundance carries."""
+        from matinvent_tpu.chem.data import CRUSTAL_ABUNDANCE_PPM
+
+        assert CRUSTAL_ABUNDANCE_PPM["O"] == 461000.0
+        assert CRUSTAL_ABUNDANCE_PPM["Si"] == 282000.0
+        assert CRUSTAL_ABUNDANCE_PPM["Fe"] == 56300.0
+        assert CRUSTAL_ABUNDANCE_PPM["Li"] == 20.0
+        assert CRUSTAL_ABUNDANCE_PPM["Au"] == 0.004
+
     def test_log_abundance(self, strucs):
         la = calc_log_abundance_crust(strucs[:1])
         assert np.isfinite(la).all()
