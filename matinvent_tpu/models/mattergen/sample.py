@@ -30,6 +30,18 @@ from matinvent_tpu.models.sample import ATOM_DIST, batch_to_structures
 # load_num_atoms_distributions once available.
 NUM_ATOMS_DISTRIBUTIONS = dict(ATOM_DIST)
 NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = ATOM_DIST["mp_20"]
+# True until a real ALEX_MP_20 table is registered; the sampler warns loudly
+# at construction while the stand-in is live (the draw distribution shapes
+# bucket sizes, throughput, and every generated-size statistic)
+_ALEX_MP20_IS_ALIAS = True
+
+# Num-atoms histogram derived from the largest in-repo corpus
+# (experiments/data/reference.extxyz, 2000 motif-based ionic structures;
+# re-derive with tools/derive_num_atoms_hist.py). Registered under a
+# distinct name so nothing can mistake it for the external ALEX_MP_20 table.
+NUM_ATOMS_DISTRIBUTIONS["matinvent_corpus"] = np.array(
+    [0.0, 0.0, 0.5205, 0.2115, 0.268]
+)
 
 
 def register_num_atoms_distribution(name: str, hist) -> None:
@@ -46,6 +58,10 @@ def register_num_atoms_distribution(name: str, hist) -> None:
         arr = np.asarray(hist, dtype=float)
     if arr.sum() <= 0:
         raise ValueError(f"histogram {name} has no mass")
+    if name == "ALEX_MP_20":
+        # a real table replaces the mp_20 stand-in: stop warning
+        global _ALEX_MP20_IS_ALIAS
+        _ALEX_MP20_IS_ALIAS = False
     NUM_ATOMS_DISTRIBUTIONS[name] = arr / arr.sum()
     # both sampler families share one histogram namespace: mirror into the
     # DiffCSP registry too (models/sample.register_atom_dist mirrors the
@@ -121,6 +137,19 @@ class MatterGenSampler:
             f"num_atoms_distribution must be one of "
             f"{list(NUM_ATOMS_DISTRIBUTIONS)}, got {self.num_atoms_distribution}"
         )
+        if self.num_atoms_distribution == "ALEX_MP_20" and _ALEX_MP20_IS_ALIAS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "num_atoms_distribution='ALEX_MP_20' is currently an mp_20 "
+                "ALIAS: the exact ALEX_MP_20 histogram ships inside the "
+                "external mattergen wheel and is not available offline. "
+                "Generated-size statistics, bucket shapes and throughput "
+                "will differ from the reference. Drop in the real table via "
+                "num_atoms_distribution_file / "
+                "register_num_atoms_distribution('ALEX_MP_20', hist), or use "
+                "'matinvent_corpus' for the in-repo corpus-derived histogram."
+            )
         self._rng = np.random.default_rng(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
 
