@@ -89,9 +89,14 @@ def main(argv: list[str]) -> None:
     ckpt = {"params": jax.device_get(params), "y_mean": y_mean, "y_std": y_std}
     with open(path, "wb") as fh:
         fh.write(serialization.to_bytes(ckpt))
+    # label provenance travels with the weights: val_r2 is measured against
+    # whatever produced the labels file, which for the shipped weights is the
+    # analytic proxy-label corpus — not DFT data
+    label_source = kv.get("label_source", labels_path)
     with open(os.path.join(output_dir, f"{model_name}.meta.txt"), "w") as fh:
         fh.write(f"val_r2={r2:.5f}\nval_mae={mae:.5f}\nsteps={steps}\n"
-                 f"y_mean={y_mean}\ny_std={y_std}\n")
+                 f"y_mean={y_mean}\ny_std={y_std}\n"
+                 f"labels={label_source}\n")
     logging.info(f"saved predictor to {path}")
 
 
