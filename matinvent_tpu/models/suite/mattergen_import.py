@@ -14,7 +14,7 @@ MatterGen checkpoints wrap a GemNet-style torch network whose architecture
 this framework intentionally does not replicate — those weights cannot be
 linearly mapped onto a different architecture; ``detect_gemnet`` recognizes
 them and the converter raises a clear error pointing at the distillation
-path (tools/distill guidance in tools/convert_mattergen_ckpt.py).
+tool (tools/distill_mattergen.py).
 
 Naming rules (torch conventions):
   {...}.kernel      -> {...}.weight   (transposed: linen [in,out] vs torch [out,in])
@@ -95,9 +95,13 @@ def mattergen_params_from_state_dict(
             "this checkpoint contains a GemNet-style MatterGen network "
             "(external `mattergen` package weights). The TPU framework's "
             "score network is a different architecture by design; weights "
-            "cannot be mapped 1:1. Distill instead: sample (structure, "
-            "score) pairs from the torch model and train this network on "
-            "them (see tools/convert_mattergen_ckpt.py docstring)."
+            "cannot be mapped 1:1. Distill instead: "
+            "`python tools/distill_mattergen.py teacher=<last.ckpt> "
+            "corpus=<data.extxyz> out=<dir>` trains this network to match "
+            "the torch model's per-field scores across the time grid and "
+            "verifies the match on held-out noised batches (see that tool's "
+            "docstring; published GemNet checkpoints need the `mattergen` "
+            "wheel or a custom builder= teacher constructor)."
         )
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []

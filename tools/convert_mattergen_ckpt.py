@@ -16,9 +16,9 @@ Published GemNet-based MatterGen checkpoints (the external `mattergen`
 package's pretrained weights) are a *different architecture* from this
 framework's TPU-first score network and are detected and rejected with an
 explanation: weights cannot be linearly mapped across architectures. The
-supported path for those is distillation — generate (noised batch, score)
-pairs with the torch model, then train this network on them with
-tools/pretrain.py-style supervision. What CAN be converted 1:1 is any
+supported path for those is distillation — tools/distill_mattergen.py
+generates (noised batch, per-field score) pairs with the torch model across
+the time grid and trains this network to match. What CAN be converted 1:1 is any
 checkpoint whose state_dict matches this framework's score network layout
 (i.e. checkpoints exported by this tool / MatterGenSuite.save_model, round
 -tripped through torch land and back).
