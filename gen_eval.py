@@ -44,6 +44,9 @@ def main(argv: list[str]) -> None:
     # model's own pretrain set) instead of a named table — avoids asking the
     # model for cell sizes it never saw
     num_atoms_from = kv.pop("num_atoms_from", None)
+    # matching tier for unique/novel metrics; "disordered" mirrors the
+    # reference's gen_eval default (scripts/gen_eval.sh:27)
+    structure_matcher = kv.pop("structure_matcher", "disordered")
     if kv:
         raise ValueError(f"unknown arguments: {sorted(kv)}")
 
@@ -122,12 +125,15 @@ def main(argv: list[str]) -> None:
         ]
         energies = [e if np.isfinite(e) else None for e in energies]
 
-    evaluator = OptEval(relax=False, reference=reference)
+    evaluator = OptEval(
+        relax=False, reference=reference, structure_matcher=structure_matcher
+    )
     metrics, _ = evaluator(all_strucs, energies=energies)
     metrics.update(
         num_generated=len(all_strucs),
         generation_time_s=round(gen_time, 2),
         structures_per_sec=round(len(all_strucs) / gen_time, 3),
+        structure_matcher=structure_matcher,
     )
     out_json = os.path.join(output_dir, "metrics.json")
     with open(out_json, "w") as fh:

@@ -1,19 +1,25 @@
 """Structure matchers for uniqueness/novelty screening.
 
-Two tiers, mirroring how the reference eval stack matches structures
+Three tiers, mirroring how the reference eval stack matches structures
 (/root/reference/pipeline/filters/opt_filter.py:17-20, 82-86 via mattergen's
-DefaultOrderedStructureMatcher = pymatgen StructureMatcher defaults):
+DefaultOrderedStructureMatcher / DefaultDisorderedStructureMatcher):
 
 * ``StructureMatcher`` — fast rotation/translation/permutation-invariant
   fingerprint (reduced formula + volume/atom + minimum-image distance
-  spectrum). Cheap; used for RL dedup where throughput matters.
-* ``ExactStructureMatcher`` — the pymatgen-style geometric fit: Niggli
-  reduction, volume normalization, unimodular lattice-correspondence search
-  under (ltol, angle_tol), anchor-translation search, per-species optimal
-  assignment on minimum-image distances, and the normalized-RMS site
-  criterion under stol. Defaults match pymatgen (ltol=0.2, stol=0.3,
-  angle_tol=5). Ordered semantics; the disordered matcher's
-  composition-anonymized mode remains out of scope (documented).
+  spectrum). Cheap; used for RL dedup where throughput matters
+  (``structure_matcher: "fast"``).
+* ``ExactStructureMatcher`` / ``OrderedStructureMatcher`` — the
+  pymatgen-style geometric fit: Niggli reduction, volume normalization,
+  unimodular lattice-correspondence search under (ltol, angle_tol),
+  anchor-translation search, per-species optimal assignment on
+  minimum-image distances, and the normalized-RMS site criterion under
+  stol. Defaults match pymatgen (ltol=0.2, stol=0.3, angle_tol=5).
+* ``DisorderedExactStructureMatcher`` / ``DisorderedStructureMatcher`` —
+  the composition-anonymized tier: same geometric criteria, but species
+  enter only through a bijective relabeling with compatible stoichiometry
+  (pymatgen anonymous-fit semantics, the core of mattergen's
+  DefaultDisorderedStructureMatcher used by the reference's gen_eval,
+  scripts/gen_eval.sh:27).
 """
 from __future__ import annotations
 
@@ -233,13 +239,24 @@ class ExactStructureMatcher:
             np.asarray(r.species),
         )
 
+    def _species_relabelings(
+        self, form1: str, sp1: np.ndarray, form2: str, sp2: np.ndarray
+    ) -> list[np.ndarray]:
+        """Candidate species arrays for structure 2, in structure-1's
+        species vocabulary. Ordered semantics: identity only, and only when
+        the reduced formulas agree."""
+        if form1 != form2:
+            return []
+        return [sp2]
+
     def fit_prepared(self, p1, p2) -> bool:
         form1, n1, l1, f1, sp1 = p1
         form2, n2, l2, f2, sp2 = p2
-        if form1 != form2:
-            return False
         if n1 != n2:
             return False  # same-cell comparison; supercell mode not needed
+        relabelings = self._species_relabelings(form1, sp1, form2, sp2)
+        if not relabelings:
+            return False
         if self.scale:
             # normalize both to unit volume/atom (pymatgen scale=True)
             v1 = abs(np.linalg.det(l1)) / n1
@@ -259,12 +276,75 @@ class ExactStructureMatcher:
             l2m = m @ l2
             gram = 0.5 * (g1 + l2m @ l2m.T)  # average metric tensor
             f2m = (f2 @ np.linalg.inv(m)) % 1.0
-            if self._sites_fit(gram, f1, f2m, sp1, sp2, norm):
-                return True
+            for sp2r in relabelings:
+                if self._sites_fit(gram, f1, f2m, sp1, sp2r, norm):
+                    return True
         return False
 
     def fit(self, s1: Structure, s2: Structure) -> bool:
         return self.fit_prepared(self.prepare(s1), self.prepare(s2))
+
+
+def anonymous_formula(species: np.ndarray) -> str:
+    """Species-blind reduced formula, e.g. Ca(TiO3) -> 'A1B1C3'."""
+    _, counts = np.unique(np.asarray(species), return_counts=True)
+    counts = np.sort(counts)
+    g = int(np.gcd.reduce(counts)) if len(counts) else 1
+    return "".join(
+        f"{chr(ord('A') + i)}{c // g}" for i, c in enumerate(counts)
+    )
+
+
+class DisorderedExactStructureMatcher(ExactStructureMatcher):
+    """Composition-anonymized exact geometric fit.
+
+    The reference's offline eval matches with mattergen's
+    DefaultDisorderedStructureMatcher
+    (/root/reference/scripts/gen_eval.sh:27, imported at
+    pipeline/filters/opt_filter.py:17-20), whose core semantics are
+    pymatgen's anonymous fit: two ordered crystals are equivalent when some
+    BIJECTIVE species relabeling with compatible stoichiometry maps one onto
+    the other under the same geometric criteria as the ordered fit (Niggli +
+    unimodular lattice search + assignment RMS under stol). Site assignment
+    still respects the (relabeled) species partition — sites of different
+    anonymized species never pair.
+    """
+
+    #: cap on enumerated bijections per pair (groups of equal-count species
+    #: explode factorially in pathological many-species cells)
+    MAX_RELABELINGS = 720
+
+    def prepare(self, s: Structure):
+        form, n, lat, frac, sp = super().prepare(s)
+        return (anonymous_formula(sp), n, lat, frac, sp)
+
+    def _species_relabelings(self, form1, sp1, form2, sp2):
+        from itertools import permutations
+
+        if form1 != form2:  # anonymized formulas incompatible
+            return []
+        v1, c1 = np.unique(sp1, return_counts=True)
+        v2, c2 = np.unique(sp2, return_counts=True)
+        if len(v1) != len(v2) or sorted(c1) != sorted(c2):
+            return []
+        # group species by site count; bijections permute within groups
+        groups1: dict[int, list] = {}
+        groups2: dict[int, list] = {}
+        for v, c in zip(v1, c1):
+            groups1.setdefault(int(c), []).append(v)
+        for v, c in zip(v2, c2):
+            groups2.setdefault(int(c), []).append(v)
+        per_group = []
+        for c, g1 in sorted(groups1.items()):
+            g2 = groups2[c]
+            per_group.append([list(zip(g1, p)) for p in permutations(g2)])
+        out = []
+        for combo in product(*per_group):
+            mapping = {b: a for pairs in combo for a, b in pairs}
+            out.append(np.array([mapping[v] for v in sp2]))
+            if len(out) >= self.MAX_RELABELINGS:
+                break
+        return out
 
 
 class OrderedStructureMatcher(StructureMatcher):
@@ -320,6 +400,40 @@ class OrderedStructureMatcher(StructureMatcher):
         elif not super()._fit_features(a[:3], b[:3]):
             return False
         return self.exact.fit_prepared(a[3], b[3])
+
+    def fit(self, s1: Structure, s2: Structure) -> bool:
+        return self._fit_features(self._features(s1), self._features(s2))
+
+
+class DisorderedStructureMatcher(StructureMatcher):
+    """Composition-anonymized exact matching behind the fast list API.
+
+    Mirrors ``OrderedStructureMatcher``: the species-blind distance-spectrum
+    fingerprint prefilters candidate pairs (grouped by *anonymized* formula),
+    and every survivor is confirmed by
+    ``DisorderedExactStructureMatcher.fit``. This is the
+    ``structure_matcher: "disordered"`` tier of OptFilter/OptEval/gen_eval —
+    comparable to reference metrics computed with mattergen's
+    DefaultDisorderedStructureMatcher.
+    """
+
+    def __init__(self, exact: DisorderedExactStructureMatcher | None = None):
+        super().__init__(vtol=0.25, dtol=0.6)
+        self.exact = exact or DisorderedExactStructureMatcher()
+        self.ndtol = 0.25
+
+    def _features(self, s: Structure):
+        prepared = self.exact.prepare(s)
+        vpa = s.volume / max(s.num_atoms, 1)
+        if self.exact.scale:
+            norm = np.cbrt(max(vpa, 1e-9))
+            fp = distance_fingerprint(s, self.k, tol=0.02, scale=norm)
+        else:
+            fp = distance_fingerprint(s, self.k)
+        # slot 0 = anonymized formula: unique_mask/novel_mask group by it
+        return (prepared[0], vpa, fp, prepared)
+
+    _fit_features = OrderedStructureMatcher._fit_features
 
     def fit(self, s1: Structure, s2: Structure) -> bool:
         return self._fit_features(self._features(s1), self._features(s2))

@@ -20,7 +20,20 @@ from typing import Callable, List, Literal, Sequence
 
 import numpy as np
 
-from matinvent_tpu.chem.matcher import OrderedStructureMatcher, StructureMatcher
+from matinvent_tpu.chem.matcher import (
+    DisorderedStructureMatcher,
+    OrderedStructureMatcher,
+    StructureMatcher,
+)
+
+#: structure_matcher config values -> matcher factory (opt_filter.py:17-20
+#: parity: "ordered"/"disordered" are the reference's exact tiers; "fast" is
+#: this framework's fingerprint approximation for RL-loop dedup throughput)
+MATCHER_TIERS = {
+    "ordered": OrderedStructureMatcher,
+    "disordered": DisorderedStructureMatcher,
+    "fast": StructureMatcher,
+}
 from matinvent_tpu.chem.structure import Structure
 from matinvent_tpu.chem.validity import cell_size_ok, smact_valid, structure_validity
 
@@ -121,7 +134,7 @@ class OptFilter:
         relaxer: Callable | None = None,
         reference: ReferenceDataset | None = None,
         stability_fn: Callable | None = None,
-        structure_matcher: Literal["ordered", "disordered"] = "disordered",
+        structure_matcher: Literal["ordered", "disordered", "fast"] = "disordered",
         num_workers: int | None = None,
         ehull_threshold: float = 0.1,
         syn_calculator=None,
@@ -134,15 +147,11 @@ class OptFilter:
         self.relaxer = relaxer
         self.reference = reference or ReferenceDataset()
         self.stability_fn = stability_fn
-        # "ordered" -> pymatgen-equivalent exact geometric matching (metrics
-        # comparable to reference-published numbers); "disordered" -> the
-        # fast fingerprint matcher (documented approximation of mattergen's
-        # DefaultDisorderedStructureMatcher, adequate for RL dedup)
-        self.matcher = (
-            OrderedStructureMatcher()
-            if structure_matcher == "ordered"
-            else StructureMatcher()
-        )
+        # "disordered" (the reference default, opt_filter.py:74) and
+        # "ordered" are the exact geometric tiers — metrics comparable to
+        # reference-published numbers; "fast" is the fingerprint
+        # approximation for RL-loop dedup throughput (MATCHER_TIERS)
+        self.matcher = MATCHER_TIERS[structure_matcher]()
         self.num_workers = num_workers
         self.ehull_threshold = ehull_threshold
         # synthesizability screen (the reference lists the metric but leaves
