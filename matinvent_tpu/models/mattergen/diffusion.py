@@ -35,6 +35,7 @@ from matinvent_tpu.models.mattergen.corruption import (
 )
 from matinvent_tpu.models.mattergen.score_net import MatterGenScoreNet
 from matinvent_tpu.ops.segment import graph_mean
+from matinvent_tpu.ops.wrapped_normal import log_prob_wrapped_normal
 
 
 class MGNoised(NamedTuple):
@@ -401,6 +402,7 @@ class MatterGenDiffusion:
             )
 
         cell_t, pos_t, types_t = carry
+        cell_in, pos_in, types_in = cell_t, pos_t, types_t
         last = i == (N - 1)
 
         ki = jax.random.fold_in(k_scan, i)
@@ -408,17 +410,22 @@ class MatterGenDiffusion:
         nz = tb["nz"]
 
         # ---- corrector: Langevin on coords (snr-scaled)
+        corr_mu = pos_t  # mu of the FIRST corrector kick (DDPO bookkeeping)
+
         def corrector(state, kc_i):
             pos_c = state
             preds, _ = net_preds(cell_t, pos_c, types_t)
             score = preds["pos"] * tb["inv_sigma"]
             noise = nz * jax.random.normal(kc_i, pos_c.shape)
             # reference sign convention: pred approximates +dlogp-sum form
-            pos_c = pos_c - tb["corr_step"] * score + tb["corr_noise"] * noise
-            return pos_c
+            mu = pos_c - tb["corr_step"] * score
+            pos_c = mu + tb["corr_noise"] * noise
+            return pos_c, mu
 
         for ci in range(c.n_corrector):
-            pos_t = corrector(pos_t, jax.random.fold_in(kcorr, ci))
+            pos_t, mu_ci = corrector(pos_t, jax.random.fold_in(kcorr, ci))
+            if ci == 0:
+                corr_mu = mu_ci
 
         # ---- predictor
         preds, t_vec = net_preds(cell_t, pos_t, types_t)
@@ -453,8 +460,151 @@ class MatterGenDiffusion:
 
         ys = None
         if record_traj:
-            ys = dict(cell=cell_next, pos=pos_next, types=types_next)
+            # DDPO bookkeeping (mirrors the DiffCSP recorder,
+            # models/diffcsp.py record_traj): full transition state + the
+            # behavior policy's log-probs of the realized draws
+            mu_cell = sigma_lim * mean_n
+            lp_cell = jax.scipy.stats.norm.logpdf(
+                cell_next, mu_cell,
+                jnp.maximum(sigma_lim * tb["post_std"], 1e-12),
+            ).mean(axis=(1, 2))
+            lp_pos_corr = graph_mean(
+                log_prob_wrapped_normal(
+                    pos_t % 1.0, corr_mu % 1.0,
+                    jnp.maximum(tb["corr_noise"], 1e-12),
+                ).mean(axis=-1),
+                mask,
+            )
+            mu_pred = (pos_t - tb["p_step"] * score) % 1.0
+            lp_pos_pred = graph_mean(
+                log_prob_wrapped_normal(
+                    pos_next, mu_pred, jnp.maximum(tb["p_std"], 1e-12)
+                ).mean(axis=-1),
+                mask,
+            )
+            if fixed_types is None:
+                lp_types = graph_mean(
+                    jnp.take_along_axis(
+                        jax.nn.log_softmax(post_logits),
+                        types_next[..., None],
+                        axis=-1,
+                    )[..., 0],
+                    mask,
+                )
+            else:
+                lp_types = jnp.zeros(cell_next.shape[0])
+            ys = dict(
+                # inputs of this transition (state at grid step i) ...
+                cell_in=cell_in, pos_in=pos_in, types_in=types_in,
+                pos_mid=pos_t % 1.0,
+                # ... outputs (state at i+1); key names kept from the
+                # original recorder for downstream compatibility
+                cell=cell_next, pos=pos_next, types=types_next,
+                log_prob_cell=lp_cell,
+                log_prob_pos=lp_pos_corr + lp_pos_pred,
+                log_prob_types=lp_types,
+                step=i,
+            )
         return (cell_next, pos_next, types_next), ys
+
+    # -------------------------------------------------- DDPO policy gradients
+    def forward_logprob(
+        self,
+        params,
+        state: dict,
+        num_atoms: jax.Array,
+        mask: jax.Array,
+        tables: dict | None = None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
+        """Differentiable log-probs of one stored sampling transition.
+
+        Multi-field counterpart of the DiffCSP ``forward_logprob``
+        (models/diffcsp.py:360; reference vestige
+        /root/reference/models/diffcsp/diffusion.py:158-227): cell ancestral
+        Gaussian + wrapped-coord corrector/predictor log-probs + D3PM
+        categorical transition log-prob, recomputed with the CURRENT params
+        for PPO importance ratios against the recorded behavior-policy
+        values.
+
+        ``state`` holds one step of a ``record_traj=True`` trajectory:
+        ``step`` (scalar grid index), ``cell_in/pos_in/types_in`` (state
+        entering the step), ``pos_mid`` (post-corrector coords) and
+        ``cell/pos/types`` (realized next state). Supports the default
+        ``n_corrector == 1`` operating point.
+        Returns per-crystal (lp_cell, lp_types, lp_pos, preds).
+        """
+        c = self.config
+        if c.n_corrector != 1:
+            raise NotImplementedError(
+                "MatterGen DDPO replay supports n_corrector=1 (the default); "
+                "intermediate corrector states are not recorded"
+            )
+        tables = tables if tables is not None else self._step_tables()
+        i = state["step"]
+        tb = {k: v[i] for k, v in tables.items()}
+        B = num_atoms.shape[0]
+        sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
+
+        def net_eval(cell_t, pos_t, types_t):
+            t = jnp.full((B,), tb["t"])
+            time_emb = jnp.broadcast_to(
+                tb["time_emb"][None, :], (B, c.time_dim)
+            )
+            noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
+            # the behavior policy sampled through the sampling-dtype net
+            # variant: replay the same variant or importance ratios start
+            # away from 1 at identical params purely from dtype rounding
+            preds = self.apply_net(
+                params, noised, num_atoms, mask, net=self.sample_net
+            )
+            return jax.tree.map(lambda o: o.astype(jnp.float32), preds), t
+
+        # corrector log-prob (Langevin kick on coords)
+        preds_c, _ = net_eval(
+            state["cell_in"], state["pos_in"], state["types_in"]
+        )
+        mu_corr = state["pos_in"] - tb["corr_step"] * (
+            preds_c["pos"] * tb["inv_sigma"]
+        )
+        lp_pos_corr = graph_mean(
+            log_prob_wrapped_normal(
+                state["pos_mid"], mu_corr % 1.0,
+                jnp.maximum(tb["corr_noise"], 1e-12),
+            ).mean(axis=-1),
+            mask,
+        )
+
+        # predictor log-probs
+        preds, t_vec = net_eval(
+            state["cell_in"], state["pos_mid"], state["types_in"]
+        )
+        cell_n = state["cell_in"] / sigma_lim
+        mean_n = (cell_n - tb["eps_coef"] * preds["cell"]) * tb["inv_sqrt_alpha"]
+        lp_cell = jax.scipy.stats.norm.logpdf(
+            state["cell"], sigma_lim * mean_n,
+            jnp.maximum(sigma_lim * tb["post_std"], 1e-12),
+        ).mean(axis=(1, 2))
+        mu_pred = (
+            state["pos_mid"] - tb["p_step"] * (preds["pos"] * tb["inv_sigma"])
+        ) % 1.0
+        lp_pos_pred = graph_mean(
+            log_prob_wrapped_normal(
+                state["pos"], mu_pred, jnp.maximum(tb["p_std"], 1e-12)
+            ).mean(axis=-1),
+            mask,
+        )
+        post_logits = self.d3pm.posterior_logits(
+            state["types_in"], preds["atomic_numbers"], t_vec
+        )
+        lp_types = graph_mean(
+            jnp.take_along_axis(
+                jax.nn.log_softmax(post_logits),
+                state["types"][..., None],
+                axis=-1,
+            )[..., 0],
+            mask,
+        )
+        return lp_cell, lp_types, lp_pos_corr + lp_pos_pred, preds
 
     def _finalize(self, state, mask, num_atoms) -> CrystalBatch:
         cell, pos, types = state

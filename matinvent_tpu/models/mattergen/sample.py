@@ -122,6 +122,9 @@ class MatterGenSampler:
     properties_to_condition_on: Dict[str, float] | None = None
 
     record_trajectories: bool = False
+    # device num-atoms of the last trajectory-recording launch (DDPO
+    # selection indexes into it, pipeline/mat_invent.ft_step_ddpo)
+    last_num_atoms: Any = None
     # post-process outputs to Niggli-reduced cells (reference legacy option,
     # models/mattergen/sample.py:143)
     niggli_reduction: bool = False
@@ -235,6 +238,9 @@ class MatterGenSampler:
         )
         if self.record_trajectories:
             self.last_trajectory = traj
+            self.last_num_atoms = jnp.minimum(
+                jnp.asarray(num_atoms), self.max_atoms
+            )
         return final
 
     def _launch_bucketed(

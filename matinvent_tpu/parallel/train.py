@@ -250,3 +250,94 @@ class DDPOFinetuneStep:
                 params, opt_state, traj, num_atoms, mask, adv
             )
         return params, float(loss)
+
+
+class MatterGenDDPOStep(DDPOFinetuneStep):
+    """DDPO policy-gradient finetune for the MatterGen family.
+
+    Same PPO-clipped objective and chunked-scan update as the DiffCSP
+    ``DDPOFinetuneStep``; the per-transition log-probs come from
+    ``MatterGenDiffusion.forward_logprob`` (cell ancestral Gaussian +
+    wrapped-coord corrector/predictor + D3PM categorical transition).
+    Trajectories are recorded by ``MatterGenDiffusion.sample`` with
+    ``record_traj=True``. The final grid step (deterministic: zero noise,
+    argmax types) is masked out of the objective.
+    """
+
+    def __init__(
+        self,
+        diffusion,  # MatterGenDiffusion
+        lr: float = 3e-6,
+        clip_eps: float = 0.2,
+        chunk: int = 50,
+        adv_norm: bool = True,
+        epochs: int = 1,
+        max_grad_norm: float = 1.0,
+    ):
+        super().__init__(
+            diffusion, lr=lr, clip_eps=clip_eps, chunk=chunk,
+            adv_norm=adv_norm, epochs=epochs, max_grad_norm=max_grad_norm,
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def update(
+        self,
+        params: Any,
+        opt_state: Any,
+        traj: dict,  # stacked [T, ...] MatterGen record_traj trajectory
+        num_atoms: jax.Array,  # [B]
+        mask: jax.Array,  # [B, A]
+        advantages: jax.Array,  # [B]
+    ):
+        T = traj["step"].shape[0]
+        if T % self.chunk:
+            raise ValueError(
+                f"trajectory length {T} not divisible by chunk={self.chunk}; "
+                "the trailing transitions would be silently dropped"
+            )
+        n_chunks = T // self.chunk
+        N = self.diffusion.config.timesteps
+        tables = self.diffusion._step_tables()
+        old_lp = (
+            traj["log_prob_cell"] + traj["log_prob_types"] + traj["log_prob_pos"]
+        )
+
+        def chunk_loss(p, c):
+            idx = c * self.chunk + jnp.arange(self.chunk)
+
+            def one_step(i):
+                state = dict(
+                    step=traj["step"][i],
+                    cell_in=traj["cell_in"][i],
+                    pos_in=traj["pos_in"][i],
+                    types_in=traj["types_in"][i],
+                    pos_mid=traj["pos_mid"][i],
+                    cell=traj["cell"][i],
+                    pos=traj["pos"][i],
+                    types=traj["types"][i],
+                )
+                lp_cell, lp_types, lp_pos = self.diffusion.forward_logprob(
+                    p, state, num_atoms, mask, tables
+                )[:3]
+                return lp_cell + lp_types + lp_pos, old_lp[i], traj["step"][i]
+
+            new_lp, old, step_i = jax.vmap(one_step)(idx)  # [C, B], [C]
+            ratio = jnp.exp(jnp.clip(new_lp - old, -20.0, 20.0))
+            clipped = jnp.clip(ratio, 1.0 - self.clip_eps, 1.0 + self.clip_eps)
+            obj = jnp.minimum(ratio * advantages, clipped * advantages)
+            # the final grid step is deterministic (nz=0 noise, argmax
+            # types): its replay log-probs are degenerate, mask it out
+            w = (step_i < N - 1).astype(obj.dtype)[:, None]
+            return -jnp.sum(obj * w) / jnp.maximum(jnp.sum(w) * obj.shape[1], 1.0)
+
+        def chunk_step(carry, c):
+            p, o = carry
+            loss, grads = jax.value_and_grad(chunk_loss)(p, c)
+            updates, o = self.optimizer.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            chunk_step, (params, opt_state), jnp.arange(n_chunks)
+        )
+        return params, opt_state, jnp.mean(losses)

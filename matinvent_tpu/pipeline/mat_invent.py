@@ -85,27 +85,33 @@ class MatInvent(ReinL):
                 raise ValueError("ddpo finetuning is incompatible with async_sampling")
             from matinvent_tpu.models.diffcsp import DiffCSPDiffusion
             from matinvent_tpu.models.sample import DEFAULT_STEP_LR
-            from matinvent_tpu.parallel.train import DDPOFinetuneStep
+            from matinvent_tpu.parallel.train import (
+                DDPOFinetuneStep,
+                MatterGenDDPOStep,
+            )
 
-            if not isinstance(self.diffusion, DiffCSPDiffusion):
-                raise ValueError("ddpo mode currently supports the DiffCSP family")
             self.sampler.record_trajectories = True
-            step_lr = getattr(self.sampler, "step_lr", None) or DEFAULT_STEP_LR[
-                "gen"
-            ].get(getattr(self.sampler, "num_atoms_distribution", "mp_20"), 5e-6)
             # the recorded trajectory always has the model's full T steps
             t_traj = int(self.diffusion.config.timesteps)
             accum = int(self.finetune_cfg.get("accum_steps", 50))
-            self.ddpo = DDPOFinetuneStep(
-                self.diffusion,
+            common = dict(
                 lr=float(self.finetune_cfg.get("lr", 1e-5)),
                 clip_eps=float(self.finetune_cfg.get("clip_eps", 0.2)),
                 chunk=accum if t_traj % accum == 0 else t_traj,
-                step_lr=float(step_lr),
                 adv_norm=bool(self.finetune_cfg.get("adv_norm", True)),
                 epochs=int(self.finetune_cfg.get("ddpo_epochs", 1)),
                 max_grad_norm=float(self.finetune_cfg.get("max_grad_norm", 1.0)),
             )
+            if isinstance(self.diffusion, DiffCSPDiffusion):
+                step_lr = getattr(self.sampler, "step_lr", None) or DEFAULT_STEP_LR[
+                    "gen"
+                ].get(getattr(self.sampler, "num_atoms_distribution", "mp_20"), 5e-6)
+                self.ddpo = DDPOFinetuneStep(
+                    self.diffusion, step_lr=float(step_lr), **common
+                )
+            else:
+                # MatterGen family: multi-field forward_logprob replay
+                self.ddpo = MatterGenDDPOStep(self.diffusion, **common)
 
         # async host/device overlap (SURVEY.md §7 'Host-device overlap'): when
         # enabled, the device starts sampling iteration t+1 (with the
