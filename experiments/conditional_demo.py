@@ -78,14 +78,21 @@ def main(argv: list[str]) -> None:
           f"range [{dens.min():.2f}, {dens.max():.2f}]", flush=True)
 
     max_atoms, T = 8, int(kv.get("timesteps", 1000))
+    # calibration fix (VERDICT r2 weak #2): standardize the condition to
+    # corpus statistics — raw-scalar embeddings left an 86% overshoot that
+    # guidance amplified
+    cond_stats = (("density", float(dens.mean()), float(dens.std())),)
     suite = MatterGenSuite(
         model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128, timesteps=T,
-                       condition_fields=("density",)),
+                       condition_fields=("density",),
+                       condition_stats=cond_stats),
         sample_cfg={"max_atoms": max_atoms},
     )
     diffusion, params = suite.load_model()
 
-    ckpt_dir = os.path.join(out_dir, "pretrained_conditional")
+    # v2: normalized conditions — a ckpt pretrained on raw scalars is
+    # incompatible with the standardized embedding path
+    ckpt_dir = os.path.join(out_dir, "pretrained_conditional_v2")
     if os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
         diffusion, params = suite.load_model()  # fresh init has the fields
         from flax import serialization
@@ -103,13 +110,23 @@ def main(argv: list[str]) -> None:
         suite.save_model(params, ckpt_dir)
     print(f"[cond] model ready: {ckpt_dir}", flush=True)
 
+    # sample num-atoms from the TRAINING corpus' own histogram: the old
+    # mp_20 table asked the model for 5-8 atom cells it never saw (clamped
+    # draws), which dominated the density miscalibration
+    from matinvent_tpu.models.mattergen.sample import (
+        register_num_atoms_distribution,
+    )
+
+    hist = np.bincount([s.num_atoms for s in structures], minlength=max_atoms + 1)
+    register_num_atoms_distribution("cond_corpus", hist.astype(float))
+
     results = []
     lo, hi = float(np.quantile(dens, 0.15)), float(np.quantile(dens, 0.85))
     for target in (lo, hi):
-        for guidance in (0.0, 2.0):
+        for guidance in (0.0, 0.5, 1.0, 2.0):
             sampler = MatterGenSampler(
                 batch_size=128, num_batches=1, max_atoms=max_atoms,
-                num_atoms_distribution="mp_20", seed=7,
+                num_atoms_distribution="cond_corpus", seed=7,
                 properties_to_condition_on={"density": float(target)},
                 diffusion_guidance_factor=guidance,
             )
@@ -131,11 +148,26 @@ def main(argv: list[str]) -> None:
             results.append(row)
             print(f"[cond] {row}", flush=True)
 
-    # steering metric: mean sampled density must order with the target, and
-    # guidance must pull the mean closer to the target
+    # steering metric: mean sampled density must track the target; the
+    # recommended gamma minimizes the worst relative error across targets
+    by_gamma = {}
+    for r in results:
+        if r["sampled_density_mean"] is None:
+            continue
+        err = abs(r["sampled_density_mean"] - r["target"]) / max(r["target"], 1e-9)
+        by_gamma.setdefault(r["guidance"], []).append(err)
+    gamma_worst = {g: max(v) for g, v in by_gamma.items() if len(v) == 2}
+    recommended = (
+        min(gamma_worst, key=gamma_worst.get) if gamma_worst else None
+    )
     summary = dict(
         corpus_density_mean=round(float(dens.mean()), 3),
         targets=dict(low=round(lo, 3), high=round(hi, 3)),
+        condition_stats=[list(e) for e in cond_stats],
+        recommended_guidance=recommended,
+        worst_rel_error_by_guidance={
+            str(g): round(e, 4) for g, e in gamma_worst.items()
+        },
         results=results,
     )
     with open(os.path.join(out_dir, "conditional_demo_summary.json"), "w") as fh:

@@ -87,7 +87,10 @@ def main(argv: list[str]) -> None:
         family = "mattergen"
         reward = "magnetic_density" if run == "mag" else "heat_capacity"
         expname = "rl_mag_density" if run == "mag" else "rl_heat_capacity"
-        ckpt_dir = os.path.join(out_dir, "pretrained_mattergen")
+        # the time embedding is sinusoidal(t * timesteps): a ckpt pretrained
+        # at one T cannot be reused at another — key the ckpt dir by T
+        suffix = "" if timesteps == 100 else f"_t{timesteps}"
+        ckpt_dir = os.path.join(out_dir, f"pretrained_mattergen{suffix}")
         if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
             demo.pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
         filter_args = ["sample_cfg.filter=null"]
@@ -116,11 +119,18 @@ def main(argv: list[str]) -> None:
 
     import main as cli
 
+    lr = kv.get("lr", "0.0001")
+    sigma = kv.get("sigma", "0.1")
+    epochs = kv.get("epochs", "3")
+    topk = kv.get("topk", None)
+    seed = kv.get("seed", "0")
+    expname = kv.get("expname", expname)
+
     cwd = os.getcwd()
     try:
         cli.main(
             [
-                f"results_dir={out_dir}", f"expname={expname}", "seed=0",
+                f"results_dir={out_dir}", f"expname={expname}", f"seed={seed}",
                 f"rl_epoch={iters}", "eval_size=16",
                 f"reward={reward}", "logger=csv", f"model={family}",
                 f"model.model_path={ckpt_dir}",
@@ -129,11 +139,12 @@ def main(argv: list[str]) -> None:
                 "model.sample_cfg.max_atoms=8",
                 f"model.finetune_cfg.timesteps={timesteps}",
                 f"pipeline.finetune_cfg.accum_steps={accum}",
-                "pipeline.finetune_cfg.epochs=3",
-                "pipeline.finetune_cfg.sigma=0.1",
-                "model.finetune_cfg.lr=0.0001",
+                f"pipeline.finetune_cfg.epochs={epochs}",
+                f"pipeline.finetune_cfg.sigma={sigma}",
+                f"model.finetune_cfg.lr={lr}",
                 f"pipeline.save_freq={iters}",
             ]
+            + ([f"pipeline.topk_ratio={topk}"] if topk else [])
             + filter_args
         )
     finally:

@@ -72,6 +72,12 @@ class MatterGenConfig:
     n_corrector: int = struct.field(pytree_node=False, default=1)
     corrector_snr: float = struct.field(pytree_node=False, default=0.2)
     condition_fields: tuple = struct.field(pytree_node=False, default=())
+    # per-field corpus statistics ((field, mean, std), ...): condition values
+    # are standardized before embedding, at train AND sample time (the
+    # reference's mattergen standardizes properties with per-field scalers;
+    # unnormalized raw scalars miscalibrate the conditional signal —
+    # measured r2: 86% density overshoot that guidance amplified)
+    condition_stats: tuple = struct.field(pytree_node=False, default=())
     sample_clip: float | None = struct.field(pytree_node=False, default=None)
     # compute dtype for score-net evals inside the sampling scan (bfloat16
     # roughly doubles MXU throughput; scan state and update math stay f32)
@@ -118,6 +124,13 @@ class MatterGenDiffusion:
 
     def apply_net(self, params, noised: MGNoised, num_atoms, mask,
                   conditions=None, cond_mask=None, net=None):
+        if conditions and self.config.condition_stats:
+            stats = {f: (m, s) for f, m, s in self.config.condition_stats}
+            conditions = {
+                f: (v - stats[f][0]) / max(stats[f][1], 1e-8)
+                if f in stats else v
+                for f, v in conditions.items()
+            }
         return (net or self.net).apply(
             params,
             noised.time_emb,

@@ -77,6 +77,11 @@ class MatterGenSuite(ModelSuite):
         cfg_kwargs.setdefault("condition_fields", AVA_MODEL_NAMES[model_name])
         if isinstance(cfg_kwargs.get("condition_fields"), list):
             cfg_kwargs["condition_fields"] = tuple(cfg_kwargs["condition_fields"])
+        if isinstance(cfg_kwargs.get("condition_stats"), list):
+            # yaml round-trip: [[field, mean, std], ...] -> ((field, mean, std), ...)
+            cfg_kwargs["condition_stats"] = tuple(
+                tuple(e) for e in cfg_kwargs["condition_stats"]
+            )
         valid = set(MatterGenConfig.__dataclass_fields__)
         self.model_config = MatterGenConfig(
             **{k: v for k, v in cfg_kwargs.items() if k in valid}
@@ -164,12 +169,16 @@ class MatterGenSuite(ModelSuite):
 
         sd = mattergen_state_dict_from_params(jax.device_get(params))
         np.savez(os.path.join(save_dir, "state_dict.npz"), **sd)
+        def _yamlable(v):
+            # recursive tuple -> list (yaml.safe_dump rejects tuples;
+            # condition_stats nests them)
+            if isinstance(v, tuple):
+                return [_yamlable(e) for e in v]
+            return v
+
         cfg = {
-            k: (list(v) if isinstance(v, tuple) else v)
-            for k, v in (
-                (k, getattr(self.model_config, k))
-                for k in MatterGenConfig.__dataclass_fields__
-            )
+            k: _yamlable(getattr(self.model_config, k))
+            for k in MatterGenConfig.__dataclass_fields__
         }
         with open(os.path.join(save_dir, "config.yaml"), "w") as fh:
             yaml.safe_dump(cfg, fh)

@@ -388,6 +388,43 @@ class TestNumAtomsDistributionHooks:
         assert arr[2] == 0.5205 and arr[3] == 0.2115 and arr[4] == 0.268
 
 
+def test_condition_stats_standardize_before_embedding(tmp_path):
+    """condition_stats standardizes condition values at apply time (CFG
+    calibration fix, VERDICT r2 weak #2) and round-trips through the suite's
+    config.yaml."""
+    from matinvent_tpu.models.diffcsp import sinusoidal_time_embedding
+    from matinvent_tpu.models.mattergen.diffusion import MGNoised
+    from matinvent_tpu.models.suite.mattergen import MatterGenSuite
+
+    stats = (("density", 2.5, 1.2),)
+    s = MatterGenSuite(model_cfg=dict(
+        hidden_dim=16, num_layers=1, time_dim=16, timesteps=8,
+        condition_fields=("density",), condition_stats=stats,
+    ))
+    d, p = s.load_model()
+    s.save_model(p, str(tmp_path))
+    d2, p2 = MatterGenSuite(model_path=str(tmp_path)).load_model()
+    assert d2.config.condition_stats == stats
+
+    plain = MatterGenDiffusion(d.config.replace(condition_stats=()))
+    t = jnp.array([0.5, 0.5])
+    noised = MGNoised(
+        t, sinusoidal_time_embedding(t * 8, 16),
+        jnp.zeros((2, 4), jnp.int32), jnp.zeros((2, 4, 3)),
+        jnp.eye(3)[None].repeat(2, 0),
+    )
+    na, mask = jnp.array([4, 4]), jnp.ones((2, 4), bool)
+    v = jnp.array([2.5, 5.0])
+    with_stats = d.apply_net(p, noised, na, mask, conditions={"density": v})
+    manual = plain.apply_net(
+        p, noised, na, mask, conditions={"density": (v - 2.5) / 1.2}
+    )
+    for k in with_stats:
+        np.testing.assert_allclose(
+            np.asarray(with_stats[k]), np.asarray(manual[k]), atol=1e-6
+        )
+
+
 class TestMatterGenDDPO:
     """Multi-field DDPO machinery (VERDICT r2 weak #5): recorded-trajectory
     log-probs must be reproducible by forward_logprob at identical params,
