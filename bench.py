@@ -71,7 +71,8 @@ def bench_mattergen() -> dict:
     )
     from matinvent_tpu.models.mattergen.sample import MatterGenSampler
 
-    B, A, T, H, L = 64, 20, 1000, 256, 6
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    A, T, H, L = 20, 1000, 256, 6
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "3"))
     cfg = MatterGenConfig(
         hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
@@ -116,7 +117,7 @@ def bench_mattergen() -> dict:
         "metric": "structures_per_sec_per_chip_reverse_sampling_mattergen",
         "value": round(B / dt, 3),
         "unit": (
-            "structures/sec/chip (MatterGen-class h256/L6, batch 64, ALEX_MP_20 "
+            f"structures/sec/chip (MatterGen-class h256/L6, batch {B}, ALEX_MP_20 "
             f"num-atoms draws, {n_buckets} size buckets, 1000 PC steps x 2 "
             "evals, bf16)"
         ),

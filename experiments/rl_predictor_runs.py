@@ -137,6 +137,11 @@ def main(argv: list[str]) -> None:
                 "+model.config_overrides.sample_clip=30.0",
                 f"model.sample_cfg.batch_size={batch}",
                 "model.sample_cfg.max_atoms=8",
+                # draw num-atoms from the pretrain corpus' own histogram:
+                # the mp_20 table asks for 5-8 atom cells the corpus-trained
+                # model never saw (clamped draws), halving valid samples
+                "model.sample_cfg.num_atoms_distribution="
+                + kv.get("num_atoms_dist", "matinvent_corpus"),
                 f"model.finetune_cfg.timesteps={timesteps}",
                 f"pipeline.finetune_cfg.accum_steps={accum}",
                 f"pipeline.finetune_cfg.epochs={epochs}",
