@@ -150,6 +150,12 @@ def main(argv: list[str]) -> None:
                 f"pipeline.save_freq={iters}",
             ]
             + ([f"pipeline.topk_ratio={topk}"] if topk else [])
+            + ([f"pipeline.replay_args.sample_size={kv['replay_sample']}"]
+               if "replay_sample" in kv else [])
+            + (["pipeline.div_filter=false"] if kv.get("div") == "off" else [])
+            + (["+pipeline.finetune_mode=ddpo",
+                f"+model.finetune_cfg.ddpo_epochs={kv.get('ddpo_epochs', '1')}"]
+               if kv.get("mode") == "ddpo" else [])
             + filter_args
         )
     finally:

@@ -124,6 +124,19 @@ def score_reward(name: str, structures, meta, workdir: str) -> dict:
     ok = ~np.asarray(failed)
     r = rewards[ok]
     best = int(np.argmax(rewards))
+
+    # the RL loop's invalid_filter screens samples on charge balance +
+    # structural sanity BEFORE scoring: the ceiling a policy can actually
+    # collect reward at is over the VALID subspace
+    from matinvent_tpu.chem.validity import smact_valid, structure_validity
+
+    valid = np.array(
+        [smact_valid(s) and structure_validity(s) for s in structures]
+    )
+    rv = rewards[ok & valid]
+    best_v = (
+        int(np.argmax(np.where(valid, rewards, -np.inf))) if valid.any() else best
+    )
     return dict(
         reward=name,
         threshold=threshold,
@@ -136,6 +149,16 @@ def score_reward(name: str, structures, meta, workdir: str) -> dict:
         best_props={
             k: round(float(np.asarray(v)[best]), 5) for k, v in props.items()
         },
+        # validity-screened tier
+        n_valid=int((ok & valid).sum()),
+        max_valid=round(float(rv.max()), 4) if rv.size else None,
+        frac_valid_above_threshold=(
+            round(float((rv >= threshold).mean()), 5) if rv.size else None
+        ),
+        best_valid_design=(
+            {**meta[best_v], "reward": round(float(rewards[best_v]), 4)}
+            if valid.any() else None
+        ),
     )
 
 
