@@ -139,9 +139,15 @@ class DemoTeacherNet:
                     h = h + upd * (1.0 + scale[:, None, :]) + shift[:, None, :]
                 mf = mask.float()[..., None]
                 graph = (h * mf).sum(1) / mf.sum(1).clamp(min=1.0)
+                # VP-eps cell semantics: symmetric degrees of freedom coupled
+                # to the current cell — the field the protocol denoises.
+                # (An arbitrary 3x3 head would be unreachable for ANY
+                # student honoring the SDE's symmetric parameterization.)
+                raw = self.cell_head(graph).reshape(B, 3, 3)
+                sym = 0.5 * (raw + raw.transpose(1, 2))
                 return {
                     "pos": self.pos_head(h),
-                    "cell": self.cell_head(graph).reshape(B, 3, 3),
+                    "cell": torch.einsum("bij,bjk->bik", sym, cell_t),
                     "atomic_numbers": self.type_head(h),
                 }
 
