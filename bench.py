@@ -2,12 +2,15 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Workload (default): the north-star operating point from BASELINE.md — the
-MatterGen-class flagship net (hidden 256, 6 layers, 1 corrector => 2
-score-net evals/step), batch 64 crystals, 1000 predictor-corrector steps,
+Workload (default): the north-star throughput operating point from
+BASELINE.md — the MatterGen-class flagship net (hidden 256, 6 layers, 1
+corrector => 2 score-net evals/step), batch 1024 crystals in 4 size
+buckets (the measured knee of the batch x bucket grid,
+experiments/results/bench_sweep_r3.json), 1000 predictor-corrector steps,
 bfloat16 score-net compute — executed as one jitted lax.scan per size
-bucket on the TPU. ``BENCH_MODEL=diffcsp`` selects the secondary
-DiffCSP-class workload (hidden 128, 4 layers) instead.
+bucket on the TPU. ``BENCH_BATCH``/``BENCH_BUCKETS`` override the grid
+point (the reference per-iteration batch is 64); ``BENCH_MODEL=diffcsp``
+selects the secondary DiffCSP-class workload (hidden 128, 4 layers).
 
 vs_baseline anchor — stated basis (the reference publishes no numbers
 in-repo; BASELINE.json "published": {}):
@@ -71,9 +74,12 @@ def bench_mattergen() -> dict:
     )
     from matinvent_tpu.models.mattergen.sample import MatterGenSampler
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # default operating point: the measured knee of the batch x bucket grid
+    # (experiments/results/bench_sweep_r3.json — 190.8 structs/s, MFU 0.51;
+    # 2048x4 regresses, 1024x5 trades MFU for nothing)
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     A, T, H, L = 20, 1000, 256, 6
-    n_buckets = int(os.environ.get("BENCH_BUCKETS", "3"))
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "4"))
     cfg = MatterGenConfig(
         hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
         n_corrector=1, sample_dtype="bfloat16",

@@ -105,6 +105,7 @@ def main(argv: list[str]) -> None:
     sigma = float(kv.get("sigma", 0.1))
     batch = int(kv.get("batch", 128))
     mode = kv.get("mode", "reward_weighted")
+    expname = kv.get("expname", "rl_hhi")
     # DDPO's measured working recipe is lr 3e-6 + grad clipping; at 1e-5+
     # the policy collapses off the valid manifold (PARITY.md) — the default
     # must depend on the mode
@@ -124,10 +125,11 @@ def main(argv: list[str]) -> None:
     make_dataset(data_path)
     print(f"[demo] dataset: {data_path}")
 
-    # pretrain
-    ckpt_dir = os.path.join(out_dir, "pretrained")
+    # pretrain (ckpt= reuses an existing compatible checkpoint dir)
+    ckpt_dir = kv.get("ckpt", os.path.join(out_dir, "pretrained"))
     if family == "mattergen":
-        pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
+        if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
+            pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
     else:
         sys.path.insert(0, os.path.join(repo, "tools"))
         import importlib.util
@@ -150,7 +152,7 @@ def main(argv: list[str]) -> None:
     try:
         cli.main(
             [
-                f"results_dir={out_dir}", "expname=rl_hhi", "seed=0",
+                f"results_dir={out_dir}", f"expname={expname}", "seed=0",
                 f"rl_epoch={iters}", "eval_size=16",
                 # HHI supply-risk minimization: the reference's headline
                 # experiment — steers composition toward low-risk elements
@@ -178,7 +180,7 @@ def main(argv: list[str]) -> None:
     # analyze
     import pandas as pd
 
-    df = pd.read_csv(os.path.join(out_dir, "rl_hhi", "metrics.csv"))
+    df = pd.read_csv(os.path.join(out_dir, expname, "metrics.csv"))
     col = "reward mean"
     rewards = df[col].dropna().to_numpy()
     first = float(np.mean(rewards[:5]))
@@ -190,7 +192,10 @@ def main(argv: list[str]) -> None:
         improvement=round(last - first, 4),
         reward_curve=[round(float(r), 4) for r in rewards],
     )
-    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+    summary_name = (
+        "summary.json" if expname == "rl_hhi" else f"{expname}_summary.json"
+    )
+    with open(os.path.join(out_dir, summary_name), "w") as fh:
         json.dump(summary, fh, indent=2)
     print("[demo] " + json.dumps({k: v for k, v in summary.items() if k != "reward_curve"}))
 
