@@ -67,6 +67,11 @@ def main(argv: list[str]) -> None:
         f"reference_path={corpus}",
         f"reference_energies={os.path.join(data, 'reference_energies.json')}",
         "relax=true", f"num_atoms_from={corpus}",
+        # headline = the reference-default disordered (anonymized) tier;
+        # ordered recorded alongside for context — on this small-cell
+        # synthetic corpus anonymized matching collapses most structures
+        # onto a handful of prototypes
+        "structure_matcher=disordered,ordered",
     ])
 
     src = os.path.join(gen_dir, "metrics.json")

@@ -74,3 +74,42 @@ def test_gen_eval_cli(tmp_path):
     metrics = json.loads((out / "metrics.json").read_text())
     assert metrics["num_generated"] == 8
     assert "frac_unique" in metrics and "frac_validity" in metrics
+
+
+@pytest.mark.slow
+def test_gen_eval_multi_matcher(tmp_path):
+    """Comma-separated tiers: one relax/generation pass, metrics per tier;
+    the first tier is the headline and by_matcher holds all of them."""
+    import gen_eval
+
+    out = tmp_path / "gen"
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        gen_eval.main(
+            [
+                "model=diffcsp",
+                "model.model_cfg.hidden_dim=32",
+                "model.model_cfg.num_layers=2",
+                "model.model_cfg.time_dim=16",
+                "model.model_cfg.timesteps=10",
+                "model.model_cfg.sample_clip=15.0",
+                "model.sample_cfg.batch_size=4",
+                f"output_dir={out}",
+                "batch_size=4",
+                "num_batches=1",
+                "structure_matcher=disordered,fast",
+            ]
+        )
+    finally:
+        os.chdir(cwd)
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["structure_matcher"] == "disordered"
+    assert set(metrics["by_matcher"]) == {"disordered", "fast"}
+    # headline numbers == the first tier's numbers
+    assert (
+        metrics["frac_unique"]
+        == metrics["by_matcher"]["disordered"]["frac_unique"]
+    )
+    for tier_metrics in metrics["by_matcher"].values():
+        assert "frac_unique" in tier_metrics and "frac_novel" in tier_metrics
