@@ -106,11 +106,17 @@ def main(argv: list[str]) -> None:
     batch = int(kv.get("batch", 128))
     mode = kv.get("mode", "reward_weighted")
     expname = kv.get("expname", "rl_hhi")
-    # DDPO's measured working recipe is lr 3e-6 + grad clipping; at 1e-5+
-    # the policy collapses off the valid manifold (PARITY.md) — the default
-    # must depend on the mode
-    lr = float(kv.get("lr", 3e-6 if mode == "ddpo" else 1e-4))
-    ddpo_epochs = int(kv.get("ddpo_epochs", 1))
+    # DDPO's measured working recipe is family-dependent: DiffCSP needs
+    # lr 3e-6 + grad clipping (at 1e-5+ the policy collapses off the valid
+    # manifold), while MatterGen's continuous-SDE log-probs produce much
+    # smaller PPO gradients — flat at 3e-6/1e-5, climbs 0.44->0.92 at
+    # lr 3e-4 x 2 epochs (rl_ddpo_mg_* sweep, experiments/results/)
+    if mode == "ddpo":
+        lr = float(kv.get("lr", 3e-4 if family == "mattergen" else 3e-6))
+        ddpo_epochs = int(kv.get("ddpo_epochs", 2 if family == "mattergen" else 1))
+    else:
+        lr = float(kv.get("lr", 1e-4))
+        ddpo_epochs = int(kv.get("ddpo_epochs", 1))
     os.makedirs(out_dir, exist_ok=True)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -126,7 +132,7 @@ def main(argv: list[str]) -> None:
     print(f"[demo] dataset: {data_path}")
 
     # pretrain (ckpt= reuses an existing compatible checkpoint dir)
-    ckpt_dir = kv.get("ckpt", os.path.join(out_dir, "pretrained"))
+    ckpt_dir = os.path.abspath(kv.get("ckpt", os.path.join(out_dir, "pretrained")))
     if family == "mattergen":
         if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
             pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
