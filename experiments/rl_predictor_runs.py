@@ -65,6 +65,24 @@ def summarize(run_dir: str, out_path: str, extra: dict) -> dict:
     return summary
 
 
+def _ensure_diffcsp_pretrain(ckpt_dir: str, data_path: str, timesteps: int) -> None:
+    if os.path.exists(os.path.join(ckpt_dir, "state_dict.npz")):
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "pretrain", os.path.join(repo, "tools", "pretrain.py")
+    )
+    pretrain = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pretrain)
+    pretrain.main(
+        [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
+         "batch_size=128", "max_atoms=8", "lr=1.5e-3",
+         "model.model_cfg.hidden_dim=128", "model.model_cfg.num_layers=4",
+         "model.model_cfg.time_dim=128",
+         f"model.model_cfg.timesteps={timesteps}"]
+    )
+
+
 def main(argv: list[str]) -> None:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
     run = kv.get("run", "mag")
@@ -95,25 +113,20 @@ def main(argv: list[str]) -> None:
             demo.pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
         filter_args = ["sample_cfg.filter=null"]
     elif run == "gapbulk":
-        family, reward, expname = "diffcsp", "gap_bulk", "rl_gap_bulk"
-        ckpt_dir = os.path.join(out_dir, "pretrained")
-        if not os.path.exists(os.path.join(ckpt_dir, "state_dict.npz")):
-            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            spec = importlib.util.spec_from_file_location(
-                "pretrain", os.path.join(repo, "tools", "pretrain.py")
-            )
-            pretrain = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(pretrain)
-            pretrain.main(
-                [f"data={data_path}", f"output_dir={ckpt_dir}", "steps=20000",
-                 "batch_size=128", "max_atoms=8", "lr=1.5e-3",
-                 "model.model_cfg.hidden_dim=128", "model.model_cfg.num_layers=4",
-                 "model.model_cfg.time_dim=128",
-                 f"model.model_cfg.timesteps={timesteps}"]
-            )
-        # config 4 runs the FULL loop: OptFilter metrics + LTM diversity
-        # filter stay on (defaults in configs/base.yaml + mat_invent.yaml)
-        filter_args = ["sample_cfg.filter.relax=false"]
+        # config 4 pins the workload (gap+bulk, filters + LTM), not the
+        # model family; family=mattergen reuses the T-keyed pretrain
+        family = kv.get("family", "diffcsp")
+        reward, expname = "gap_bulk", "rl_gap_bulk"
+        if family == "mattergen":
+            suffix = "" if timesteps == 100 else f"_t{timesteps}"
+            ckpt_dir = os.path.join(out_dir, f"pretrained_mattergen{suffix}")
+            if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
+                demo.pretrain_mattergen(data_path, ckpt_dir, timesteps=timesteps)
+            filter_args = ["sample_cfg.filter.relax=false"]
+        else:
+            ckpt_dir = os.path.join(out_dir, "pretrained")
+            _ensure_diffcsp_pretrain(ckpt_dir, data_path, timesteps)
+            filter_args = ["sample_cfg.filter.relax=false"]
     else:
         raise SystemExit(f"unknown run={run}")
 

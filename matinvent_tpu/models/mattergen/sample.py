@@ -28,20 +28,17 @@ from matinvent_tpu.models.sample import ATOM_DIST, batch_to_structures
 # distribution and is the documented stand-in (both cap at 20 atoms); the
 # exact table can be dropped in via register_num_atoms_distribution /
 # load_num_atoms_distributions once available.
-NUM_ATOMS_DISTRIBUTIONS = dict(ATOM_DIST)
+NUM_ATOMS_DISTRIBUTIONS = {
+    k: np.asarray(v, dtype=float) for k, v in ATOM_DIST.items()
+}
 NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = ATOM_DIST["mp_20"]
 # True until a real ALEX_MP_20 table is registered; the sampler warns loudly
 # at construction while the stand-in is live (the draw distribution shapes
 # bucket sizes, throughput, and every generated-size statistic)
 _ALEX_MP20_IS_ALIAS = True
 
-# Num-atoms histogram derived from the largest in-repo corpus
-# (experiments/data/reference.extxyz, 2000 motif-based ionic structures;
-# re-derive with tools/derive_num_atoms_hist.py). Registered under a
-# distinct name so nothing can mistake it for the external ALEX_MP_20 table.
-NUM_ATOMS_DISTRIBUTIONS["matinvent_corpus"] = np.array(
-    [0.0, 0.0, 0.5205, 0.2115, 0.268]
-)
+# "matinvent_corpus" (the in-repo corpus-derived histogram) arrives through
+# the ATOM_DIST snapshot above — single source in models/sample.py.
 
 
 def register_num_atoms_distribution(name: str, hist) -> None:

@@ -36,6 +36,12 @@ ATOM_DIST = {
               0.09669811320754718, 0.02155807783018868, 0.06522700471698113,
               0.014372051886792452, 0.06703272405660378, 0.00972877358490566,
               0.053176591981132074, 0.010576356132075472, 0.08995430424528301],
+    # Derived from the largest in-repo corpus (experiments/data/
+    # reference.extxyz, 2000 motif-based ionic structures; re-derive with
+    # tools/derive_num_atoms_hist.py). Distinct name so nothing mistakes it
+    # for the external ALEX_MP_20 table. Shared by both model families
+    # (the MatterGen registry snapshots this dict at import).
+    "matinvent_corpus": [0.0, 0.0, 0.5205, 0.2115, 0.268],
 }
 
 DEFAULT_STEP_LR = {
