@@ -31,7 +31,7 @@ from matinvent_tpu.models.sample import ATOM_DIST, batch_to_structures
 NUM_ATOMS_DISTRIBUTIONS = {
     k: np.asarray(v, dtype=float) for k, v in ATOM_DIST.items()
 }
-NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = ATOM_DIST["mp_20"]
+NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = NUM_ATOMS_DISTRIBUTIONS["mp_20"]
 # True until a real ALEX_MP_20 table is registered; the sampler warns loudly
 # at construction while the stand-in is live (the draw distribution shapes
 # bucket sizes, throughput, and every generated-size statistic)
