@@ -177,7 +177,33 @@ def bench_diffcsp() -> dict:
     }
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """Fail fast when the axon relay is unreachable: backend init otherwise
+    blocks indefinitely and the driver records a hang instead of a result.
+    The probe runs in a subprocess so the timeout is enforceable."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "structures_per_sec_per_chip_reverse_sampling_mattergen",
+            "value": None,
+            "unit": "TPU backend unreachable (axon relay down); no measurement",
+            "vs_baseline": None,
+            "error": "backend_init_timeout",
+        }))
+        raise SystemExit(1)
     mode = os.environ.get("BENCH_MODEL", "mattergen")
     result = bench_diffcsp() if mode == "diffcsp" else bench_mattergen()
     print(json.dumps(result))
