@@ -195,16 +195,18 @@ def _probe_backend(timeout_s: int = 300) -> bool:
 
 
 def main() -> None:
+    mode = os.environ.get("BENCH_MODEL", "mattergen")
+    if mode != "diffcsp":
+        mode = "mattergen"
     if not _probe_backend():
         print(json.dumps({
-            "metric": "structures_per_sec_per_chip_reverse_sampling_mattergen",
+            "metric": f"structures_per_sec_per_chip_reverse_sampling_{mode}",
             "value": None,
             "unit": "TPU backend unreachable (axon relay down); no measurement",
             "vs_baseline": None,
             "error": "backend_init_timeout",
         }))
         raise SystemExit(1)
-    mode = os.environ.get("BENCH_MODEL", "mattergen")
     result = bench_diffcsp() if mode == "diffcsp" else bench_mattergen()
     print(json.dumps(result))
 

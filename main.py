@@ -13,6 +13,16 @@ from __future__ import annotations
 import os
 import sys
 
+# Optional platform override honored INSIDE the process: site customizations
+# (e.g. the axon relay's sitecustomize) force jax.config.jax_platforms after
+# import, so the plain JAX_PLATFORMS env var is silently ignored on such
+# hosts. MATINVENT_PLATFORM=cpu runs the pipeline on host CPU (smokes, CI)
+# even when the configured accelerator backend is unreachable.
+if os.environ.get("MATINVENT_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MATINVENT_PLATFORM"])
+
 # multi-host bring-up MUST precede any backend-initializing import work:
 # with MATINVENT_COORDINATOR set (pod-slice launchers export one env per
 # process), join the jax distributed runtime before touching anything else

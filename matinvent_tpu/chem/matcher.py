@@ -397,7 +397,10 @@ class OrderedStructureMatcher(StructureMatcher):
                 np.max(np.abs(fpa[valid] - fpb[valid])) > self.ndtol
             ):
                 return False
-        elif not super()._fit_features(a[:3], b[:3]):
+        # explicit base call (not zero-arg super()): this method is borrowed
+        # by DisorderedStructureMatcher, whose zero-arg super() cell would be
+        # bound to the wrong class and raise TypeError in this branch
+        elif not StructureMatcher._fit_features(self, a[:3], b[:3]):
             return False
         return self.exact.fit_prepared(a[3], b[3])
 

@@ -475,13 +475,19 @@ class MatterGenDiffusion:
         if record_traj:
             # DDPO bookkeeping (mirrors the DiffCSP recorder,
             # models/diffcsp.py record_traj): full transition state + the
-            # behavior policy's log-probs of the realized draws
+            # behavior policy's log-probs of the realized draws.
+            # Every lp is gated by nz: the LAST grid step is deterministic
+            # (noise off, post_std/p_std exactly 0, types via argmax), so its
+            # transition has no stochastic log-prob — recording the clamped
+            # 1e-12-std logpdf instead puts one catastrophically
+            # rounding-amplified garbage ratio into every DDPO update
+            # (forward_logprob gates identically, keeping the ratio at 1)
             mu_cell = sigma_lim * mean_n
-            lp_cell = jax.scipy.stats.norm.logpdf(
+            lp_cell = nz * jax.scipy.stats.norm.logpdf(
                 cell_next, mu_cell,
                 jnp.maximum(sigma_lim * tb["post_std"], 1e-12),
             ).mean(axis=(1, 2))
-            lp_pos_corr = graph_mean(
+            lp_pos_corr = nz * graph_mean(
                 log_prob_wrapped_normal(
                     pos_t % 1.0, corr_mu % 1.0,
                     jnp.maximum(tb["corr_noise"], 1e-12),
@@ -489,14 +495,14 @@ class MatterGenDiffusion:
                 mask,
             )
             mu_pred = (pos_t - tb["p_step"] * score) % 1.0
-            lp_pos_pred = graph_mean(
+            lp_pos_pred = nz * graph_mean(
                 log_prob_wrapped_normal(
                     pos_next, mu_pred, jnp.maximum(tb["p_std"], 1e-12)
                 ).mean(axis=-1),
                 mask,
             )
             if fixed_types is None:
-                lp_types = graph_mean(
+                lp_types = nz * graph_mean(
                     jnp.take_along_axis(
                         jax.nn.log_softmax(post_logits),
                         types_next[..., None],
@@ -528,6 +534,9 @@ class MatterGenDiffusion:
         num_atoms: jax.Array,
         mask: jax.Array,
         tables: dict | None = None,
+        conditions: Mapping[str, jax.Array] | None = None,
+        guidance: float = 0.0,
+        fixed_types: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array, dict]:
         """Differentiable log-probs of one stored sampling transition.
 
@@ -544,6 +553,13 @@ class MatterGenDiffusion:
         entering the step), ``pos_mid`` (post-corrector coords) and
         ``cell/pos/types`` (realized next state). Supports the default
         ``n_corrector == 1`` operating point.
+
+        ``conditions``/``guidance``/``fixed_types`` must match what the
+        behavior policy sampled with (the sampler records them alongside the
+        trajectory): replaying a conditional/guided/CSP trajectory through
+        the unconditional policy would put every importance ratio at
+        exp(lp_uncond - lp_cond) != 1 even at identical params, silently
+        miscalibrating the PPO update.
         Returns per-crystal (lp_cell, lp_types, lp_pos, preds).
         """
         c = self.config
@@ -557,6 +573,9 @@ class MatterGenDiffusion:
         tb = {k: v[i] for k, v in tables.items()}
         B = num_atoms.shape[0]
         sigma_lim = self.cell_sde.limit_std(num_atoms)[:, None, None]
+        # the last grid step is deterministic (recorder gates its lp to 0 by
+        # nz); gate identically so the importance ratio there is exactly 1
+        nz = tb["nz"]
 
         def net_eval(cell_t, pos_t, types_t):
             t = jnp.full((B,), tb["t"])
@@ -564,11 +583,12 @@ class MatterGenDiffusion:
                 tb["time_emb"][None, :], (B, c.time_dim)
             )
             noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
-            # the behavior policy sampled through the sampling-dtype net
-            # variant: replay the same variant or importance ratios start
-            # away from 1 at identical params purely from dtype rounding
-            preds = self.apply_net(
-                params, noised, num_atoms, mask, net=self.sample_net
+            # _guided_preds runs the sampling-dtype net variant with the same
+            # conditioning/guidance mix the behavior policy used: replay the
+            # exact policy or importance ratios start away from 1 at
+            # identical params (dtype rounding, missing condition embeddings)
+            preds = self._guided_preds(
+                params, noised, num_atoms, mask, conditions, guidance
             )
             return jax.tree.map(lambda o: o.astype(jnp.float32), preds), t
 
@@ -579,7 +599,7 @@ class MatterGenDiffusion:
         mu_corr = state["pos_in"] - tb["corr_step"] * (
             preds_c["pos"] * tb["inv_sigma"]
         )
-        lp_pos_corr = graph_mean(
+        lp_pos_corr = nz * graph_mean(
             log_prob_wrapped_normal(
                 state["pos_mid"], mu_corr % 1.0,
                 jnp.maximum(tb["corr_noise"], 1e-12),
@@ -593,30 +613,35 @@ class MatterGenDiffusion:
         )
         cell_n = state["cell_in"] / sigma_lim
         mean_n = (cell_n - tb["eps_coef"] * preds["cell"]) * tb["inv_sqrt_alpha"]
-        lp_cell = jax.scipy.stats.norm.logpdf(
+        lp_cell = nz * jax.scipy.stats.norm.logpdf(
             state["cell"], sigma_lim * mean_n,
             jnp.maximum(sigma_lim * tb["post_std"], 1e-12),
         ).mean(axis=(1, 2))
         mu_pred = (
             state["pos_mid"] - tb["p_step"] * (preds["pos"] * tb["inv_sigma"])
         ) % 1.0
-        lp_pos_pred = graph_mean(
+        lp_pos_pred = nz * graph_mean(
             log_prob_wrapped_normal(
                 state["pos"], mu_pred, jnp.maximum(tb["p_std"], 1e-12)
             ).mean(axis=-1),
             mask,
         )
-        post_logits = self.d3pm.posterior_logits(
-            state["types_in"], preds["atomic_numbers"], t_vec
-        )
-        lp_types = graph_mean(
-            jnp.take_along_axis(
-                jax.nn.log_softmax(post_logits),
-                state["types"][..., None],
-                axis=-1,
-            )[..., 0],
-            mask,
-        )
+        if fixed_types is None:
+            post_logits = self.d3pm.posterior_logits(
+                state["types_in"], preds["atomic_numbers"], t_vec
+            )
+            lp_types = nz * graph_mean(
+                jnp.take_along_axis(
+                    jax.nn.log_softmax(post_logits),
+                    state["types"][..., None],
+                    axis=-1,
+                )[..., 0],
+                mask,
+            )
+        else:
+            # CSP mode held types fixed during sampling and the recorder
+            # wrote log_prob_types=0; mirror it so the ratio stays exact
+            lp_types = jnp.zeros(state["cell"].shape[0])
         return lp_cell, lp_types, lp_pos_corr + lp_pos_pred, preds
 
     def _finalize(self, state, mask, num_atoms) -> CrystalBatch:
@@ -653,6 +678,15 @@ class MatterGenDiffusion:
         structure prediction — atom types are held fixed through the whole
         chain (reference CSP mode, models/mattergen/sample.py:160-177) and
         only cell/coords diffuse."""
+        if record_traj and self.config.n_corrector != 1:
+            # the recorder stores one (corr_mu, pos_mid) pair per grid step;
+            # with multiple Langevin kicks the recorded log_prob_pos would be
+            # the wrapped-normal of the FINAL position against the FIRST
+            # kick's mean — silently wrong for any consumer, not just DDPO
+            raise NotImplementedError(
+                "record_traj=True supports n_corrector=1 (the default); "
+                "intermediate corrector states are not recorded"
+            )
         A = int(max_atoms) if max_atoms is not None else 20
         # clamp to the padded atom axis: num_atoms is traced (no host-side
         # assert possible under jit), and a draw above the cap would return

@@ -129,6 +129,12 @@ class MatterGenSampler:
     # last recorded trajectory (record_trajectories=True): stacked [T, ...]
     # pytree consumed by DDPOFinetuneStep
     last_trajectory: Any = None
+    # behavior-policy knobs of the last trajectory-recording launch: the DDPO
+    # replay must recompute log-probs under the SAME conditioning/guidance/
+    # CSP-fixed-types mix or importance ratios are wrong at identical params
+    last_conditions: Any = None
+    last_guidance: float = 0.0
+    last_fixed_types: Any = None
 
     def __post_init__(self):
         if self.num_atoms_distribution_file:
@@ -238,6 +244,9 @@ class MatterGenSampler:
             self.last_num_atoms = jnp.minimum(
                 jnp.asarray(num_atoms), self.max_atoms
             )
+            self.last_conditions = conditions
+            self.last_guidance = float(self.diffusion_guidance_factor)
+            self.last_fixed_types = fixed_types
         return final
 
     def _launch_bucketed(

@@ -71,10 +71,15 @@ def register_atom_dist(name: str, hist) -> None:
         raise ValueError(f"histogram {name} has no mass")
     ATOM_DIST[name] = arr / arr.sum()
     # the MatterGen registry snapshots ATOM_DIST at import; keep it in sync
+    # through its registration function (NOT a raw dict write) so side
+    # effects like clearing the ALEX_MP_20 alias warning fire from either
+    # entry point
     try:
-        from matinvent_tpu.models.mattergen.sample import NUM_ATOMS_DISTRIBUTIONS
+        from matinvent_tpu.models.mattergen.sample import (
+            register_num_atoms_distribution,
+        )
 
-        NUM_ATOMS_DISTRIBUTIONS[name] = ATOM_DIST[name]
+        register_num_atoms_distribution(name, ATOM_DIST[name])
     except ImportError:  # circular import during module init
         pass
 

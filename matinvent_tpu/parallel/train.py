@@ -235,7 +235,10 @@ class DDPOFinetuneStep:
         )
         return params, opt_state, jnp.mean(losses)
 
-    def run(self, params, traj, num_atoms, mask, rewards, baseline=None):
+    def run(
+        self, params, traj, num_atoms, mask, rewards, baseline=None,
+        **replay_kwargs,
+    ):
         adv = rewards - (baseline if baseline is not None else jnp.mean(rewards))
         if self.adv_norm:
             # full standardization: center (an explicit baseline can leave a
@@ -247,7 +250,7 @@ class DDPOFinetuneStep:
         loss = 0.0
         for _ in range(max(self.epochs, 1)):
             params, opt_state, loss = self.update(
-                params, opt_state, traj, num_atoms, mask, adv
+                params, opt_state, traj, num_atoms, mask, adv, **replay_kwargs
             )
         return params, float(loss)
 
@@ -279,7 +282,7 @@ class MatterGenDDPOStep(DDPOFinetuneStep):
             adv_norm=adv_norm, epochs=epochs, max_grad_norm=max_grad_norm,
         )
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self", "guidance"))
     def update(
         self,
         params: Any,
@@ -288,6 +291,9 @@ class MatterGenDDPOStep(DDPOFinetuneStep):
         num_atoms: jax.Array,  # [B]
         mask: jax.Array,  # [B, A]
         advantages: jax.Array,  # [B]
+        conditions: Any = None,  # behavior policy's conditioning, per field [B]
+        guidance: float = 0.0,  # behavior policy's CFG factor
+        fixed_types: jax.Array | None = None,  # CSP mode: types held fixed
     ):
         T = traj["step"].shape[0]
         if T % self.chunk:
@@ -317,7 +323,9 @@ class MatterGenDDPOStep(DDPOFinetuneStep):
                     types=traj["types"][i],
                 )
                 lp_cell, lp_types, lp_pos = self.diffusion.forward_logprob(
-                    p, state, num_atoms, mask, tables
+                    p, state, num_atoms, mask, tables,
+                    conditions=conditions, guidance=guidance,
+                    fixed_types=fixed_types,
                 )[:3]
                 return lp_cell + lp_types + lp_pos, old_lp[i], traj["step"][i]
 

@@ -294,9 +294,25 @@ class MatInvent(ReinL):
         num_atoms = num_atoms_all[idx]
         A = self.sampler.max_atoms
         mask = jnp.arange(A)[None, :] < num_atoms[:, None]
+        from matinvent_tpu.parallel.train import MatterGenDDPOStep
+
+        replay_kwargs = {}
+        if isinstance(self.ddpo, MatterGenDDPOStep):
+            # replay under the behavior policy the sampler recorded:
+            # conditioning / CFG factor / CSP fixed types, row-selected like
+            # the trajectory itself
+            cond = self.sampler.last_conditions
+            if cond is not None:
+                cond = {k: v[idx] for k, v in cond.items()}
+            ft = self.sampler.last_fixed_types
+            replay_kwargs = dict(
+                conditions=cond,
+                guidance=float(self.sampler.last_guidance),
+                fixed_types=None if ft is None else ft[idx],
+            )
         self.agent_params, loss = self.ddpo.run(
             self.agent_params, traj_sel, num_atoms, mask,
-            jnp.asarray(rewards, jnp.float32),
+            jnp.asarray(rewards, jnp.float32), **replay_kwargs,
         )
         logging.info(f"DDPO loss: {loss:.5f}")
 

@@ -411,6 +411,33 @@ class TestMatcherScaleInvariance:
         novel = m.novel_mask([nacl, kbr], [mgo])
         assert list(novel) == [False, False]
 
+    def test_disordered_list_api_scale_false(self):
+        """Regression (r3 review): DisorderedStructureMatcher borrows
+        OrderedStructureMatcher._fit_features, whose scale=False branch used
+        a zero-arg super() bound to the wrong class — TypeError at runtime."""
+        from matinvent_tpu.chem.matcher import (
+            DisorderedExactStructureMatcher,
+            DisorderedStructureMatcher,
+        )
+
+        nacl = self._rocksalt(5.6)
+        kbr_same_cell = Structure.from_parameters(
+            [5.6] * 3, [90] * 3, [19, 35],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+        mgo_bigger = Structure.from_parameters(
+            [7.5] * 3, [90] * 3, [12, 8],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+        m = DisorderedStructureMatcher(
+            exact=DisorderedExactStructureMatcher(scale=False)
+        )
+        assert m.fit(nacl, kbr_same_cell)  # same geometry, anonymized match
+        assert not m.fit(nacl, mgo_bigger)  # scale=False: volume mismatch
+        assert list(m.unique_mask([nacl, kbr_same_cell, mgo_bigger])) == [
+            True, False, True,
+        ]
+
     def test_ordered_prefilter_bin_split_falls_through(self):
         from matinvent_tpu.chem.matcher import OrderedStructureMatcher
 

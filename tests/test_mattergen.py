@@ -376,6 +376,23 @@ class TestNumAtomsDistributionHooks:
         assert not any("ALIAS" in r.message for r in caplog.records)
         importlib.reload(S)
 
+    def test_alias_cleared_via_diffcsp_registry_too(self, caplog):
+        """Regression (r3 review): register_atom_dist (the DiffCSP-side API,
+        documented as covering both families) must also clear the ALEX_MP_20
+        alias warning, not just register_num_atoms_distribution."""
+        import importlib
+        import logging
+
+        from matinvent_tpu.models import sample as DS
+        from matinvent_tpu.models.mattergen import sample as S
+
+        importlib.reload(S)
+        DS.register_atom_dist("ALEX_MP_20", [0.0, 0.0, 1.0])
+        with caplog.at_level(logging.WARNING, logger=S.__name__):
+            S.MatterGenSampler(batch_size=4, num_batches=1)
+        assert not any("ALIAS" in r.message for r in caplog.records)
+        importlib.reload(S)
+
     def test_corpus_derived_histogram_registered(self):
         """The in-repo corpus-derived table ships under a distinct name and
         matches tools/derive_num_atoms_hist.py on the source corpus."""
@@ -513,6 +530,155 @@ class TestMatterGenDDPO:
         # f32 summation-order differences between the scan-time and
         # replay-time net evals leave ~2e-3 ratio jitter; PPO clips at 0.2
         np.testing.assert_allclose(np.exp(new_lp - old_lp), 1.0, atol=5e-3)
+
+    def test_record_traj_rejects_multi_corrector(self):
+        """Regression: with n_corrector>1 the recorder's log_prob_pos would
+        be the wrapped normal of the FINAL position against the FIRST kick's
+        mean — refuse at record time, not just at DDPO replay."""
+        cfg = MatterGenConfig(
+            hidden_dim=16, num_layers=1, time_dim=16, timesteps=4,
+            n_corrector=2,
+        )
+        d = MatterGenDiffusion(cfg)
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        with pytest.raises(NotImplementedError, match="n_corrector"):
+            d.sample(
+                params, jax.random.PRNGKey(1), jnp.array([4], jnp.int32),
+                max_atoms=4, record_traj=True,
+            )
+
+
+class TestMatterGenDDPOConditional:
+    """Regression (r3 review): the DDPO replay must recompute log-probs under
+    the SAME conditioning/guidance/CSP mix the behavior policy sampled with —
+    replaying a conditional trajectory through the unconditional policy puts
+    importance ratios away from 1 at identical params."""
+
+    # Operating point chosen for numerical cleanliness (measured):
+    # * sample_clip=None — an untrained net's cells explode past any clip,
+    #   and a clipped draw sits thousands of sigma from mu, where the
+    #   sampling-dtype net's f32 rounding is amplified by |x-mu|/sigma^2
+    #   into O(1e-2) log-prob noise that swamps the semantic signal.
+    # * replay at step 1 (high-noise end of the descending grid) — the VP
+    #   posterior std shrinks toward the data end, amplifying the same f32
+    #   rounding by 1/post_std^2 (measured: correct-replay cell dev 5e-5 at
+    #   step 1 grows to 5e-3 by step 4 at identical semantics).
+    # * conditions +-10 with guidance 2.0 — large enough that dropping them
+    #   moves the total log-prob by >20 (vs 5e-5 correct-replay noise).
+    @pytest.fixture(scope="class")
+    def cond_traj(self):
+        cfg = MatterGenConfig(
+            hidden_dim=32, num_layers=2, time_dim=16, timesteps=8,
+            condition_fields=("dft_mag_density",), sample_clip=None,
+        )
+        d = MatterGenDiffusion(cfg)
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=6)
+        num_atoms = jnp.array([6, 4], jnp.int32)
+        conditions = {"dft_mag_density": jnp.array([10.0, -10.0])}
+        _, traj = d.sample(
+            params, jax.random.PRNGKey(1), num_atoms, max_atoms=6,
+            conditions=conditions, guidance=2.0, record_traj=True,
+        )
+        return d, params, num_atoms, conditions, traj
+
+    @staticmethod
+    def _replay(d, params, num_atoms, traj, i, **kw):
+        mask = jnp.arange(6)[None, :] < num_atoms[:, None]
+        state = {
+            k: traj[k][i]
+            for k in ("step", "cell_in", "pos_in", "types_in",
+                      "pos_mid", "cell", "pos", "types")
+        }
+        lp_c, lp_t, lp_p, _ = d.forward_logprob(
+            params, state, num_atoms, mask, d._step_tables(), **kw
+        )
+        new_lp = np.asarray(lp_c + lp_t + lp_p)
+        old_lp = np.asarray(
+            traj["log_prob_cell"][i] + traj["log_prob_types"][i]
+            + traj["log_prob_pos"][i]
+        )
+        return np.exp(new_lp - old_lp)
+
+    def test_conditional_replay_ratio_is_one(self, cond_traj):
+        d, params, num_atoms, conditions, traj = cond_traj
+        ratio = self._replay(
+            d, params, num_atoms, traj, 1,
+            conditions=conditions, guidance=2.0,
+        )
+        np.testing.assert_allclose(ratio, 1.0, atol=5e-3)
+
+    def test_unconditional_replay_ratio_is_wrong(self, cond_traj):
+        """The pre-fix behavior: dropping conditions/guidance at replay gives
+        ratios far from 1 at the behavior params (measured |dlp| > 20 at this
+        operating point vs 5e-5 replay noise)."""
+        d, params, num_atoms, conditions, traj = cond_traj
+        ratio = self._replay(d, params, num_atoms, traj, 1)
+        assert np.max(np.abs(ratio - 1.0)) > 0.1
+
+    def test_last_step_logprobs_gated_to_zero(self, cond_traj):
+        """The final grid step is deterministic (noise off, post_std/p_std
+        exactly 0, types via argmax): recorder and replay must both write 0
+        there, or every DDPO update carries one garbage ratio built from a
+        1e-12-std logpdf of a rounding-level difference."""
+        d, params, num_atoms, conditions, traj = cond_traj
+        last = d.config.timesteps - 1
+        for k in ("log_prob_cell", "log_prob_types", "log_prob_pos"):
+            np.testing.assert_array_equal(np.asarray(traj[k][last]), 0.0)
+        mask = jnp.arange(6)[None, :] < num_atoms[:, None]
+        state = {
+            k: traj[k][last]
+            for k in ("step", "cell_in", "pos_in", "types_in",
+                      "pos_mid", "cell", "pos", "types")
+        }
+        lp_c, lp_t, lp_p, _ = d.forward_logprob(
+            params, state, num_atoms, mask, d._step_tables(),
+            conditions=conditions, guidance=2.0,
+        )
+        np.testing.assert_array_equal(np.asarray(lp_c + lp_t + lp_p), 0.0)
+
+    def test_sampler_records_behavior_policy(self, cond_traj):
+        """The sampler must expose the knobs the pipeline needs for replay."""
+        d, params, *_ = cond_traj
+        s = MatterGenSampler(
+            batch_size=2, num_batches=1, max_atoms=6,
+            num_atoms_distribution="mp_20", record_trajectories=True,
+            diffusion_guidance_factor=1.5,
+            properties_to_condition_on={"dft_mag_density": 0.4},
+        )
+        s.launch((d, params))
+        assert s.last_guidance == 1.5
+        assert set(s.last_conditions) == {"dft_mag_density"}
+        np.testing.assert_allclose(
+            np.asarray(s.last_conditions["dft_mag_density"]), 0.4
+        )
+        assert s.last_fixed_types is None
+
+    def test_csp_replay_types_logprob_zero(self):
+        """CSP mode holds types fixed and records log_prob_types=0; the
+        replay must mirror it."""
+        cfg = MatterGenConfig(
+            hidden_dim=16, num_layers=1, time_dim=16, timesteps=4,
+            sample_clip=100.0,
+        )
+        d = MatterGenDiffusion(cfg)
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=4)
+        num_atoms = jnp.array([3], jnp.int32)
+        fixed = jnp.array([[8, 8, 12, 0]], jnp.int32)
+        _, traj = d.sample(
+            params, jax.random.PRNGKey(1), num_atoms, max_atoms=4,
+            fixed_types=fixed, record_traj=True,
+        )
+        mask = jnp.arange(4)[None, :] < num_atoms[:, None]
+        state = {
+            k: traj[k][1]
+            for k in ("step", "cell_in", "pos_in", "types_in",
+                      "pos_mid", "cell", "pos", "types")
+        }
+        _, lp_types, _, _ = d.forward_logprob(
+            params, state, num_atoms, mask, fixed_types=fixed
+        )
+        np.testing.assert_allclose(np.asarray(lp_types), 0.0)
+        np.testing.assert_allclose(np.asarray(traj["log_prob_types"][1]), 0.0)
 
 
 def test_d3pm_t_index_exact_on_sampler_grid():

@@ -603,6 +603,13 @@ def main(argv: list[str]) -> None:
 
     rng = np.random.default_rng(seed)
     batches = structure_batches(corpus, batch_size, max_atoms, rng)
+    if len(batches) < 2:
+        raise SystemExit(
+            f"corpus too small for batch_size={batch_size}: only "
+            f"{len(batches)} full batch(es) from "
+            f"{len(corpus)} qualifying structures; need >= 2 (one train + "
+            f"one held-out) — lower batch_size or grow the corpus"
+        )
     n_held = max(len(batches) // 5, 1)
     train_b, held_b = batches[n_held:], batches[:n_held]
     print(f"[distill] {len(train_b)} train / {len(held_b)} held-out batches")

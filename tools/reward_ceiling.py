@@ -141,10 +141,14 @@ def score_reward(name: str, structures, meta, workdir: str) -> dict:
         reward=name,
         threshold=threshold,
         n_scored=int(ok.sum()),
-        max=round(float(r.max()), 4),
-        p99=round(float(np.quantile(r, 0.99)), 4),
-        p95=round(float(np.quantile(r, 0.95)), 4),
-        frac_above_threshold=round(float((r >= threshold).mean()), 5),
+        # guard the all-failed case (e.g. missing predictor weights): report
+        # n_scored=0 with null stats instead of crashing after a long scan
+        max=round(float(r.max()), 4) if r.size else None,
+        p99=round(float(np.quantile(r, 0.99)), 4) if r.size else None,
+        p95=round(float(np.quantile(r, 0.95)), 4) if r.size else None,
+        frac_above_threshold=(
+            round(float((r >= threshold).mean()), 5) if r.size else None
+        ),
         best_design={**meta[best], "reward": round(float(rewards[best]), 4)},
         best_props={
             k: round(float(np.asarray(v)[best]), 5) for k, v in props.items()
