@@ -149,11 +149,17 @@ class ExactStructureMatcher:
         stol: float = 0.3,
         angle_tol: float = 5.0,
         scale: bool = True,
+        use_native: bool = True,
     ):
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
         self.scale = scale
+        # the C++ core (native/structure_fit.cpp) runs the identical
+        # mapping x relabeling x anchor x assignment search ~100x faster;
+        # use_native=False pins the pure-Python reference implementation
+        # (and is the automatic fallback when the toolchain is missing)
+        self.use_native = use_native
 
     # ------------------------------------------------------------ internals
     @staticmethod
@@ -257,6 +263,15 @@ class ExactStructureMatcher:
         relabelings = self._species_relabelings(form1, sp1, form2, sp2)
         if not relabelings:
             return False
+        if self.use_native:
+            from matinvent_tpu.native import structure_fit_native
+
+            native = structure_fit_native(
+                l1, f1, sp1, l2, f2, relabelings,
+                self.ltol, self.stol, self.angle_tol, self.scale,
+            )
+            if native is not None:
+                return native
         if self.scale:
             # normalize both to unit volume/atom (pymatgen scale=True)
             v1 = abs(np.linalg.det(l1)) / n1

@@ -83,3 +83,71 @@ def charge_balanced_native(
     cnt_arr = (ctypes.c_int * n)(*counts)
     en_arr = (ctypes.c_double * n)(*[e if e is not None else -1.0 for e in ens])
     return bool(lib.charge_balanced(ox_arr, off_arr, cnt_arr, en_arr, n))
+
+
+_fit_lib = None
+_fit_tried = False
+
+
+def structure_fit_lib():
+    """ctypes handle to the exact-structure-fit module, or None (fallback)."""
+    global _fit_lib, _fit_tried
+    if _fit_tried:
+        return _fit_lib
+    _fit_tried = True
+    src = os.path.join(os.path.dirname(__file__), "structure_fit.cpp")
+    so = _build(src)
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.structure_fit.restype = ctypes.c_int
+    lib.structure_fit.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # l1 [9]
+        ctypes.POINTER(ctypes.c_double),  # f1 [n*3]
+        ctypes.POINTER(ctypes.c_int32),   # sp1 [n]
+        ctypes.POINTER(ctypes.c_double),  # l2 [9]
+        ctypes.POINTER(ctypes.c_double),  # f2 [n*3]
+        ctypes.c_int,                     # n
+        ctypes.POINTER(ctypes.c_int32),   # relabel [R*n]
+        ctypes.c_int,                     # R
+        ctypes.c_double,                  # ltol
+        ctypes.c_double,                  # stol
+        ctypes.c_double,                  # angle_tol
+        ctypes.c_int,                     # scale (bool)
+    ]
+    _fit_lib = lib
+    return _fit_lib
+
+
+def structure_fit_native(
+    l1, f1, sp1, l2, f2, relabelings, ltol, stol, angle_tol, scale
+) -> bool | None:
+    """Native exact structure fit; None when the native lib is unavailable.
+
+    Inputs mirror ExactStructureMatcher.fit_prepared internals: Niggli-reduced
+    lattices (row-major 3x3), wrapped fractional coords, structure-1 species,
+    and the candidate species relabelings of structure 2 (already in
+    structure-1's vocabulary; ordered fit passes ``[sp2]``).
+    """
+    lib = structure_fit_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = len(sp1)
+    l1a = np.ascontiguousarray(l1, dtype=np.float64)
+    l2a = np.ascontiguousarray(l2, dtype=np.float64)
+    f1a = np.ascontiguousarray(f1, dtype=np.float64)
+    f2a = np.ascontiguousarray(f2, dtype=np.float64)
+    sp1a = np.ascontiguousarray(sp1, dtype=np.int32)
+    rel = np.ascontiguousarray(np.stack(relabelings), dtype=np.int32)
+    dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+    return bool(
+        lib.structure_fit(
+            dptr(l1a), dptr(f1a), iptr(sp1a), dptr(l2a), dptr(f2a),
+            ctypes.c_int(n), iptr(rel), ctypes.c_int(rel.shape[0]),
+            ctypes.c_double(ltol), ctypes.c_double(stol),
+            ctypes.c_double(angle_tol), ctypes.c_int(1 if scale else 0),
+        )
+    )

@@ -521,3 +521,77 @@ def test_ordered_scaled_copy_with_dedup_bin_splits():
 
     assert ExactStructureMatcher().fit(mk(10), mk(13))
     assert OrderedStructureMatcher().fit(mk(10), mk(13))
+
+
+class TestNativeStructureFit:
+    """The C++ fit core (native/structure_fit.cpp) must agree with the
+    pure-Python reference implementation on matches AND rejections; all
+    other matcher tests exercise native-by-default semantics already."""
+
+    def _ensemble(self, seed=0):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(6):  # rocksalt family, varied species/scale/jitter
+            a = 5.0 + rng.uniform(-0.5, 0.5)
+            sp = [int(rng.integers(3, 80)), int(rng.integers(3, 80))]
+            base = np.array([[0, 0, 0], [0.5, 0.5, 0.5]])
+            offs = [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+            coords = np.concatenate(
+                [base + rng.normal(0, 0.01, (2, 3)) + o for o in offs]
+            )
+            out.append(
+                Structure.from_parameters([a] * 3, [90] * 3, sp * 4, coords % 1.0)
+            )
+        for _ in range(4):  # heavy-jitter 20-atom cells (exhausted searches)
+            a = 5.6 + rng.uniform(-0.3, 0.3)
+            base = np.array(
+                [[0, 0, 0], [0.5, 0.5, 0.5], [0.5, 0.5, 0],
+                 [0.5, 0, 0.5], [0, 0.5, 0.5]]
+            )
+            sp = [int(rng.integers(3, 80)), int(rng.integers(3, 80))] + [8] * 3
+            coords = np.concatenate(
+                [(base + o) % 1.0
+                 for o in [[0, 0, 0], [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5]]]
+            )
+            out.append(Structure.from_parameters(
+                [a] * 3, [90] * 3, sp * 4,
+                (coords + rng.normal(0, 0.08, coords.shape)) % 1.0,
+            ))
+        for _ in range(4):  # triclinic noise cells
+            lat = np.eye(3) * 5 + rng.normal(0, 0.8, (3, 3))
+            n = int(rng.integers(2, 9))
+            out.append(Structure(lat, rng.integers(3, 60, n), rng.uniform(0, 1, (n, 3))))
+        return out
+
+    def test_native_available(self):
+        """The toolchain ships in this image: the native core must build."""
+        from matinvent_tpu.native import structure_fit_lib
+
+        assert structure_fit_lib() is not None
+
+    @pytest.mark.parametrize("cls_name", ["ordered", "disordered"])
+    def test_native_python_agreement(self, cls_name):
+        from matinvent_tpu.chem.matcher import (
+            DisorderedExactStructureMatcher,
+            ExactStructureMatcher,
+        )
+        from matinvent_tpu.native import structure_fit_lib
+
+        if structure_fit_lib() is None:
+            pytest.skip("no native toolchain")
+        cls = (ExactStructureMatcher if cls_name == "ordered"
+               else DisorderedExactStructureMatcher)
+        mp, mn = cls(use_native=False), cls(use_native=True)
+        prep = [mp.prepare(s) for s in self._ensemble()]
+        disagree = []
+        n_match = 0
+        for i in range(len(prep)):
+            for j in range(i + 1, len(prep)):
+                a = mp.fit_prepared(prep[i], prep[j])
+                b = mn.fit_prepared(prep[i], prep[j])
+                n_match += a
+                if a != b:
+                    disagree.append((i, j, a, b))
+        assert not disagree, disagree
+        if cls_name == "disordered":
+            assert n_match > 0  # the ensemble must exercise the match path
