@@ -57,6 +57,12 @@ def main(argv: list[str]) -> None:
     eval_size = int(kv.get("eval_size", 16))
     max_atoms = int(kv.get("max_atoms", 8))
     accum = int(kv.get("accum", 25))
+    # invalid_filter=0 for toy/smoke nets whose samples can't pass the
+    # validity screen; real runs keep the reference behavior (on)
+    invalid_filter = kv.get("invalid_filter", "1") not in ("0", "false")
+    # reward=hhi for smoke runs: composition-only, scorable even when a toy
+    # net's geometry is garbage (density NaNs out on degenerate cells)
+    reward = kv.get("reward", "density")
     expname = kv.get("expname", "rl_cond_ddpo")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -68,12 +74,14 @@ def main(argv: list[str]) -> None:
             [
                 f"results_dir={out_dir}", f"expname={expname}", "seed=0",
                 f"rl_epoch={iters}", f"eval_size={eval_size}",
-                "reward=density",
+                f"reward={reward}",
+            ] + ([
                 # reward target == conditioning target: scale the [0,1] band
                 # around it so the curve resolves progress near the target
                 f"reward.prop_cfg.0.target={target}",
                 "reward.prop_cfg.0.minv=0.0",
                 f"reward.prop_cfg.0.maxv={target}",
+            ] if reward == "density" else []) + [
                 "logger=csv", "model=mattergen",
                 f"model.model_path={ckpt}",
                 f"model.sample_cfg.batch_size={batch}",
@@ -88,6 +96,7 @@ def main(argv: list[str]) -> None:
                 "+pipeline.finetune_mode=ddpo",
                 f"pipeline.save_freq={iters}",
                 "sample_cfg.filter=null",
+                f"sample_cfg.invalid_filter={'true' if invalid_filter else 'false'}",
             ]
         )
     finally:
@@ -96,6 +105,12 @@ def main(argv: list[str]) -> None:
     import pandas as pd
 
     df = pd.read_csv(os.path.join(out_dir, expname, "metrics.csv"))
+    if "reward mean" not in df.columns:
+        raise SystemExit(
+            "no reward rows were logged — every iteration produced zero "
+            "scored samples (check the checkpoint quality or pass "
+            "invalid_filter=0 for toy nets)"
+        )
     rewards = df["reward mean"].dropna().to_numpy()
     dens = (
         df["density mean"].dropna().to_numpy()
