@@ -59,7 +59,9 @@ def main(argv: list[str]) -> None:
     accum = int(kv.get("accum", 25))
     # invalid_filter=0 for toy/smoke nets whose samples can't pass the
     # validity screen; real runs keep the reference behavior (on)
-    invalid_filter = kv.get("invalid_filter", "1") not in ("0", "false")
+    invalid_filter = kv.get("invalid_filter", "1").lower() not in (
+        "0", "false", "no", "off",
+    )
     # reward=hhi for smoke runs: composition-only, scorable even when a toy
     # net's geometry is garbage (density NaNs out on degenerate cells)
     reward = kv.get("reward", "density")

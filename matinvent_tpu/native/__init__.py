@@ -20,8 +20,12 @@ _CACHE_DIR = os.environ.get(
 
 def _build(src_path: str) -> str | None:
     """Compile src to a cached .so keyed by source hash; None on failure."""
-    with open(src_path, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    try:
+        with open(src_path, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    except OSError as e:  # source missing/unreadable (broken install)
+        logging.debug(f"native source unreadable at {src_path}: {e}")
+        return None
     name = os.path.splitext(os.path.basename(src_path))[0]
     so_path = os.path.join(_CACHE_DIR, f"{name}-{digest}.so")
     if os.path.exists(so_path):
@@ -38,31 +42,46 @@ def _build(src_path: str) -> str | None:
         return None
 
 
-_charge_lib = None
-_charge_tried = False
+#: lazily built libs by source basename: name -> handle (None = build failed)
+_libs: dict = {}
+
+
+def _lazy_lib(src_name: str, fn_name: str, restype, argtypes, warn: str = ""):
+    """Shared lazy build-and-load: compile <src_name> once, bind <fn_name>'s
+    signature, cache the handle (None on failure -> callers use the Python
+    fallback). ``warn`` is logged at WARNING level on first failure so a
+    missing toolchain's performance cliff is observable, not silent."""
+    if src_name in _libs:
+        return _libs[src_name]
+    src = os.path.join(os.path.dirname(__file__), src_name)
+    so = _build(src)
+    if so is None:
+        if warn:
+            logging.warning(warn)
+        _libs[src_name] = None
+        return None
+    lib = ctypes.CDLL(so)
+    fn = getattr(lib, fn_name)
+    fn.restype = restype
+    fn.argtypes = argtypes
+    _libs[src_name] = lib
+    return lib
 
 
 def charge_balance_lib():
     """ctypes handle to the charge-balance module, or None (use fallback)."""
-    global _charge_lib, _charge_tried
-    if _charge_tried:
-        return _charge_lib
-    _charge_tried = True
-    src = os.path.join(os.path.dirname(__file__), "charge_balance.cpp")
-    so = _build(src)
-    if so is None:
-        return None
-    lib = ctypes.CDLL(so)
-    lib.charge_balanced.restype = ctypes.c_int
-    lib.charge_balanced.argtypes = [
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_double),
+    return _lazy_lib(
+        "charge_balance.cpp",
+        "charge_balanced",
         ctypes.c_int,
-    ]
-    _charge_lib = lib
-    return _charge_lib
+        [
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ],
+    )
 
 
 def charge_balanced_native(
@@ -85,38 +104,33 @@ def charge_balanced_native(
     return bool(lib.charge_balanced(ox_arr, off_arr, cnt_arr, en_arr, n))
 
 
-_fit_lib = None
-_fit_tried = False
-
-
 def structure_fit_lib():
     """ctypes handle to the exact-structure-fit module, or None (fallback)."""
-    global _fit_lib, _fit_tried
-    if _fit_tried:
-        return _fit_lib
-    _fit_tried = True
-    src = os.path.join(os.path.dirname(__file__), "structure_fit.cpp")
-    so = _build(src)
-    if so is None:
-        return None
-    lib = ctypes.CDLL(so)
-    lib.structure_fit.restype = ctypes.c_int
-    lib.structure_fit.argtypes = [
-        ctypes.POINTER(ctypes.c_double),  # l1 [9]
-        ctypes.POINTER(ctypes.c_double),  # f1 [n*3]
-        ctypes.POINTER(ctypes.c_int32),   # sp1 [n]
-        ctypes.POINTER(ctypes.c_double),  # l2 [9]
-        ctypes.POINTER(ctypes.c_double),  # f2 [n*3]
-        ctypes.c_int,                     # n
-        ctypes.POINTER(ctypes.c_int32),   # relabel [R*n]
-        ctypes.c_int,                     # R
-        ctypes.c_double,                  # ltol
-        ctypes.c_double,                  # stol
-        ctypes.c_double,                  # angle_tol
-        ctypes.c_int,                     # scale (bool)
-    ]
-    _fit_lib = lib
-    return _fit_lib
+    return _lazy_lib(
+        "structure_fit.cpp",
+        "structure_fit",
+        ctypes.c_int,
+        [
+            ctypes.POINTER(ctypes.c_double),  # l1 [9]
+            ctypes.POINTER(ctypes.c_double),  # f1 [n*3]
+            ctypes.POINTER(ctypes.c_int32),   # sp1 [n]
+            ctypes.POINTER(ctypes.c_double),  # l2 [9]
+            ctypes.POINTER(ctypes.c_double),  # f2 [n*3]
+            ctypes.c_int,                     # n
+            ctypes.POINTER(ctypes.c_int32),   # relabel [R*n]
+            ctypes.c_int,                     # R
+            ctypes.c_double,                  # ltol
+            ctypes.c_double,                  # stol
+            ctypes.c_double,                  # angle_tol
+            ctypes.c_int,                     # scale (bool)
+        ],
+        warn=(
+            "native structure_fit build failed — the exact matcher falls "
+            "back to pure Python (~30-2500x slower per batch); set "
+            "structure_matcher: fast in the sample filter config if the "
+            "RL loop's per-iteration dedup becomes the bottleneck"
+        ),
+    )
 
 
 def structure_fit_native(
