@@ -149,12 +149,18 @@ class ExactStructureMatcher:
         stol: float = 0.3,
         angle_tol: float = 5.0,
         scale: bool = True,
+        primitive_cell: bool = True,
         use_native: bool = True,
     ):
         self.ltol = ltol
         self.stol = stol
         self.angle_tol = angle_tol
         self.scale = scale
+        # pymatgen StructureMatcher(primitive_cell=True) semantics: both
+        # structures reduce to their primitive cells before fitting, so an
+        # exact 2x supercell matches its primitive (the reference corpora
+        # store primitives; generated cells need not be primitive)
+        self.primitive_cell = primitive_cell
         # the C++ core (native/structure_fit.cpp) runs the identical
         # mapping x relabeling x anchor x assignment search ~100x faster;
         # use_native=False pins the pure-Python reference implementation
@@ -234,8 +240,15 @@ class ExactStructureMatcher:
 
     # ------------------------------------------------------------------ api
     def prepare(self, s: Structure):
-        """Per-structure precompute (Niggli reduction + arrays) — cacheable
-        by callers that fit the same structure against many others."""
+        """Per-structure precompute (primitive + Niggli reduction + arrays) —
+        cacheable by callers that fit the same structure against many
+        others. The atom count compared in ``fit_prepared`` is the PRIMITIVE
+        count when ``primitive_cell`` is on, so a supercell and its
+        primitive land on the same comparison size."""
+        if self.primitive_cell:
+            from matinvent_tpu.chem.niggli import primitive_reduce
+
+            s = primitive_reduce(s)
         r = self._niggli(s)
         return (
             s.composition.reduced_formula,

@@ -96,3 +96,115 @@ def niggli_reduce(structure: Structure, eps: float = 1e-5) -> Structure:
     cart = structure.cart_coords
     frac = cart @ np.linalg.pinv(new_lat)
     return Structure(new_lat, structure.species, frac % 1.0)
+
+
+def primitive_reduce(structure: Structure, tol: float = 0.25) -> Structure:
+    """Reduce to a primitive cell by detecting internal pure translations.
+
+    pymatgen's ``StructureMatcher`` reduces both structures to their
+    primitive cells before fitting (``primitive_cell=True`` default, the
+    mode the reference's mattergen Default*StructureMatcher wrappers use);
+    this is the equivalent host-side reduction. ``tol`` is the Cartesian
+    site tolerance in Angstrom (pymatgen ``get_primitive_structure``
+    default 0.25).
+
+    Method: candidate fractional translations are differences between sites
+    of the rarest species; a candidate is a pure translation when it maps
+    every site onto a same-species site within ``tol`` (minimum image).
+    The valid translations form a group of order g | n; a primitive basis
+    is the shortest Cartesian triple drawn from {group translations} union
+    {cell vectors} with |det| = V/g. Sites are remapped and deduplicated.
+    """
+    n = structure.num_atoms
+    if n <= 1:
+        return structure
+    lat = structure.lattice
+    frac = structure.frac_coords % 1.0
+    sp = np.asarray(structure.species)
+
+    def maps_onto_self(t: np.ndarray) -> bool:
+        shifted = (frac + t) % 1.0
+        # every shifted site must land on a same-species site within tol
+        d = shifted[:, None, :] - frac[None, :, :]
+        d -= np.round(d)
+        dist2 = np.einsum("ijk,kl,ijl->ij", d, lat @ lat.T, d)
+        ok = (dist2 <= tol * tol) & (sp[:, None] == sp[None, :])
+        # a permutation must exist; for a pure translation the nearest
+        # same-species site suffices (injective by the tolerance being
+        # well below typical interatomic distances)
+        return bool(np.all(ok.any(axis=1)))
+
+    # a pure translation of a crystal with n atoms generates a group whose
+    # order divides n, so its components are multiples of 1/m for some
+    # m | n. Snap each raw candidate (which carries TWO sites' jitter) to
+    # the nearest such fraction BEFORE verifying: verification then only
+    # fights the per-site jitter, and the primitive-basis determinant check
+    # below sees exact V/g volumes.
+    divisors = [m for m in range(2, n + 1) if n % m == 0]
+
+    def snap(t: np.ndarray) -> np.ndarray | None:
+        for m in divisors:
+            ts = np.round(t * m) / m
+            ts -= np.round(ts)
+            if not np.any(ts):
+                continue
+            d = t - ts
+            d -= np.round(d)
+            if float(d @ (lat @ lat.T) @ d) <= tol * tol:
+                return ts
+        return None
+
+    vals, counts = np.unique(sp, return_counts=True)
+    anchor_sites = np.where(sp == vals[np.argmin(counts)])[0]
+    a0 = anchor_sites[0]
+    snapped: list[np.ndarray] = []
+    for j in anchor_sites[1:]:
+        t = frac[j] - frac[a0]
+        t -= np.round(t)  # minimum image, NOT % 1.0 (keep -0.005 small)
+        ts = snap(t)
+        if ts is not None and not any(
+            np.allclose(ts, s0) for s0 in snapped
+        ) and maps_onto_self(ts):
+            snapped.append(ts)
+    g = len(snapped) + 1
+    if g == 1 or n % g:
+        return structure
+
+    # candidate primitive vectors (Cartesian): group translations + cell rows
+    cands = np.concatenate([np.asarray(snapped) @ lat, lat], axis=0)
+    order = np.argsort(np.linalg.norm(cands, axis=1))
+    cands = cands[order]
+    target = structure.volume / g
+    best = None
+    m = len(cands)
+    for i in range(m):
+        for j in range(i + 1, m):
+            for k in range(j + 1, m):
+                basis = np.stack([cands[i], cands[j], cands[k]])
+                vol = abs(np.linalg.det(basis))
+                if abs(vol - target) <= 1e-4 * structure.volume:
+                    best = basis
+                    break
+            if best is not None:
+                break
+        if best is not None:
+            break
+    if best is None:  # group detected but no consistent basis: keep as-is
+        return structure
+
+    new_frac = (structure.cart_coords @ np.linalg.pinv(best)) % 1.0
+    keep_idx: list[int] = []
+    gram = best @ best.T
+    for i in range(n):
+        dup = False
+        for kdx in keep_idx:
+            d = new_frac[i] - new_frac[kdx]
+            d -= np.round(d)
+            if (sp[i] == sp[kdx]) and (d @ gram @ d) <= tol * tol:
+                dup = True
+                break
+        if not dup:
+            keep_idx.append(i)
+    if len(keep_idx) != n // g:  # inconsistent dedup (heavy jitter): keep
+        return structure
+    return Structure(best, sp[keep_idx], new_frac[keep_idx])

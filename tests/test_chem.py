@@ -599,3 +599,79 @@ class TestNativeStructureFit:
             # the ensemble must exercise the match path (scale=False pairs
             # differ in volume/atom, so matches there are not guaranteed)
             assert n_match > 0
+
+
+class TestPrimitiveReduction:
+    """pymatgen StructureMatcher(primitive_cell=True) parity: both structures
+    reduce to primitive cells before the exact fit, so supercells match
+    their primitives (reference corpora store primitives; generated cells
+    need not be)."""
+
+    def _prim(self, a=5.6, sp=(11, 17)):
+        return Structure.from_parameters(
+            [a] * 3, [90] * 3, list(sp),
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+
+    def _supercell_2x(self, prim, jitter_A=0.0, seed=0):
+        lat = prim.lattice.copy()
+        lat[0] *= 2
+        frac = np.vstack([
+            prim.frac_coords * [0.5, 1, 1],
+            prim.frac_coords * [0.5, 1, 1] + [0.5, 0, 0],
+        ])
+        if jitter_A:
+            rng = np.random.default_rng(seed)
+            frac = frac + rng.normal(0, jitter_A, frac.shape) @ np.linalg.inv(lat)
+        return Structure(lat, np.concatenate([prim.species] * 2), frac % 1.0)
+
+    def test_reduce_supercell(self):
+        from matinvent_tpu.chem.niggli import primitive_reduce
+
+        prim = self._prim()
+        sup = self._supercell_2x(prim)
+        r = primitive_reduce(sup)
+        assert r.num_atoms == 2
+        np.testing.assert_allclose(r.volume, prim.volume, rtol=1e-9)
+
+    def test_reduce_survives_site_jitter(self):
+        """Translation components snap to multiples of 1/g, so realistic
+        relaxed-structure jitter (~0.02-0.05 A) must not break reduction."""
+        from matinvent_tpu.chem.niggli import primitive_reduce
+
+        prim = self._prim()
+        assert primitive_reduce(self._supercell_2x(prim, 0.05)).num_atoms == 2
+
+    def test_exact_fit_supercell_vs_primitive(self):
+        from matinvent_tpu.chem.matcher import ExactStructureMatcher
+
+        prim = self._prim()
+        sup = self._supercell_2x(prim, 0.02)
+        assert ExactStructureMatcher().fit(prim, sup)
+        # pre-r3 behavior stays reachable
+        assert not ExactStructureMatcher(primitive_cell=False).fit(prim, sup)
+
+    def test_disordered_fit_anonymized_supercell(self):
+        from matinvent_tpu.chem.matcher import DisorderedExactStructureMatcher
+
+        nacl = self._prim()
+        kbr_2x2x2 = Structure(
+            nacl.lattice * 2,
+            np.concatenate([[19, 35]] * 8),
+            np.concatenate([
+                (nacl.frac_coords * 0.5 + np.array(o)) % 1.0
+                for o in [(x / 2, y / 2, z / 2)
+                          for x in range(2) for y in range(2) for z in range(2)]
+            ]),
+        )
+        assert DisorderedExactStructureMatcher().fit(nacl, kbr_2x2x2)
+
+    def test_non_periodic_cell_unchanged(self):
+        from matinvent_tpu.chem.niggli import primitive_reduce
+
+        rng = np.random.default_rng(3)
+        s = Structure(
+            np.eye(3) * 5 + rng.normal(0, 0.5, (3, 3)),
+            [11, 17, 8], rng.uniform(0, 1, (3, 3)),
+        )
+        assert primitive_reduce(s).num_atoms == 3
