@@ -219,7 +219,9 @@ bool sites_fit(const Mat3& gram, const double* f1, const double* f2,
             const auto& i2 = groups2[k];
             const int g = static_cast<int>(i1.size());
             cost.assign(static_cast<size_t>(g) * g, 0.0);
+            double lb = 0.0;  // sum of row minima <= assignment cost
             for (int r = 0; r < g; ++r) {
+                double rmin = 1e300;
                 for (int c = 0; c < g; ++c) {
                     double d[3];
                     for (int x = 0; x < 3; ++x) {
@@ -233,7 +235,19 @@ bool sites_fit(const Mat3& gram, const double* f1, const double* f2,
                         for (int y = 0; y < 3; ++y)
                             q += d[x] * gram.m[x][y] * d[y];
                     cost[static_cast<size_t>(r) * g + c] = q;
+                    if (q < rmin) rmin = q;
                 }
+                lb += rmin;
+            }
+            // greedy bound prunes the O(g^3) Hungarian: if even the
+            // bijection-free row-min sum already exceeds the budget, the
+            // true assignment cost (>= lb) cannot save this anchor
+            double bound = std::sqrt(
+                (sq_sum + lb > 0.0 ? sq_sum + lb : 0.0)
+                / static_cast<double>(n));
+            if (bound / norm > stol) {
+                viable = false;
+                break;
             }
             sq_sum += hungarian_min_cost(cost, g);
             n_tot += g;
