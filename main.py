@@ -22,6 +22,19 @@ if os.environ.get("MATINVENT_PLATFORM"):
     import jax
 
     jax.config.update("jax_platforms", os.environ["MATINVENT_PLATFORM"])
+elif __name__ == "__main__" and not os.environ.get("MATINVENT_SKIP_PROBE"):
+    # fail fast when the accelerator relay is unreachable: backend init
+    # otherwise blocks indefinitely with no diagnostic (bench.py and
+    # __graft_entry__.py guard the same way). Probe in a subprocess so the
+    # timeout is enforceable; costs ~backend-init time once at startup.
+    from bench import _probe_backend
+
+    if not _probe_backend():
+        raise SystemExit(
+            "accelerator backend unreachable (relay down?) — set "
+            "MATINVENT_PLATFORM=cpu to run on host CPU, or "
+            "MATINVENT_SKIP_PROBE=1 to wait for the backend anyway"
+        )
 
 # multi-host bring-up MUST precede any backend-initializing import work:
 # with MATINVENT_COORDINATOR set (pod-slice launchers export one env per

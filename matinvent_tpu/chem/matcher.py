@@ -398,14 +398,21 @@ class OrderedStructureMatcher(StructureMatcher):
         # per-structure precompute: fingerprint for the prefilter (in
         # normalized-distance space when the exact fit is scale-invariant,
         # so dedup bins align across volume-scaled copies) + the
-        # Niggli-reduced arrays for the exact fit — computed once, reused
-        # across every O(N²) pair comparison
-        base = super()._features(s)
+        # primitive+Niggli-reduced arrays for the exact fit — computed once,
+        # reused across every O(N²) pair comparison.
+        # The fingerprint comes from the REDUCED structure: a supercell's
+        # minimum-image spectrum interleaves non-minimal-image distances its
+        # primitive lacks, so raw-structure fingerprints falsely prefilter
+        # supercell-vs-primitive pairs the exact fit (primitive_cell=True)
+        # matches
+        prepared = self.exact.prepare(s)
+        rs = Structure(prepared[2], prepared[4], prepared[3])
+        base = super()._features(rs)
         if self.exact.scale:
-            norm = np.cbrt(max(s.volume / max(s.num_atoms, 1), 1e-9))
-            fp = distance_fingerprint(s, self.k, tol=0.02, scale=norm)
+            norm = np.cbrt(max(rs.volume / max(rs.num_atoms, 1), 1e-9))
+            fp = distance_fingerprint(rs, self.k, tol=0.02, scale=norm)
             base = (base[0], base[1], fp)
-        return (*base, self.exact.prepare(s))
+        return (*base, prepared)
 
     def _fit_features(self, a, b) -> bool:
         fa, va, fpa = a[:3]
@@ -454,13 +461,17 @@ class DisorderedStructureMatcher(StructureMatcher):
         self.ndtol = 0.25
 
     def _features(self, s: Structure):
+        # fingerprint the REDUCED structure (see OrderedStructureMatcher
+        # _features: raw supercell spectra falsely prefilter pairs the
+        # primitive_cell=True exact fit matches)
         prepared = self.exact.prepare(s)
-        vpa = s.volume / max(s.num_atoms, 1)
+        rs = Structure(prepared[2], prepared[4], prepared[3])
+        vpa = rs.volume / max(rs.num_atoms, 1)
         if self.exact.scale:
             norm = np.cbrt(max(vpa, 1e-9))
-            fp = distance_fingerprint(s, self.k, tol=0.02, scale=norm)
+            fp = distance_fingerprint(rs, self.k, tol=0.02, scale=norm)
         else:
-            fp = distance_fingerprint(s, self.k)
+            fp = distance_fingerprint(rs, self.k)
         # slot 0 = anonymized formula: unique_mask/novel_mask group by it
         return (prepared[0], vpa, fp, prepared)
 

@@ -31,7 +31,10 @@ def _build(src_path: str) -> str | None:
     if os.path.exists(so_path):
         return so_path
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    tmp = so_path + ".tmp"
+    # per-process temp: two concurrent builders (pytest + a background
+    # script) sharing one temp path could interleave g++ output and publish
+    # a truncated .so under the hash-keyed name
+    tmp = f"{so_path}.tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src_path, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -60,10 +63,17 @@ def _lazy_lib(src_name: str, fn_name: str, restype, argtypes, warn: str = ""):
             logging.warning(warn)
         _libs[src_name] = None
         return None
-    lib = ctypes.CDLL(so)
-    fn = getattr(lib, fn_name)
-    fn.restype = restype
-    fn.argtypes = argtypes
+    try:
+        lib = ctypes.CDLL(so)
+        fn = getattr(lib, fn_name)
+        fn.restype = restype
+        fn.argtypes = argtypes
+    except (OSError, AttributeError) as e:
+        # corrupt cached .so or missing symbol: degrade to the Python
+        # fallback ONCE (cache None) instead of re-raising on every call
+        logging.warning(f"native {src_name} load failed ({e}); " + (warn or ""))
+        _libs[src_name] = None
+        return None
     _libs[src_name] = lib
     return lib
 

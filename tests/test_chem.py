@@ -449,7 +449,12 @@ class TestMatcherScaleInvariance:
         coords = np.array(
             [[0, 0, 0], [0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]]
         )
-        species = [11, 11, 17, 17]
+        # distinct species on the would-be-translated sites: with
+        # [11, 11, 17, 17] this cell is an exact 2x supercell and the r3
+        # primitive reduction collapses it, changing the fingerprint the
+        # bin-split property is probed on (the fingerprint itself is
+        # species-blind, so the split behavior is unchanged)
+        species = [11, 19, 17, 35]
         s1 = Structure.from_parameters([5.6] * 3, [90] * 3, species, coords)
         rng = np.random.default_rng(1)
         f2 = (coords + rng.normal(0, 0.015, (4, 3))) % 1.0
@@ -675,3 +680,37 @@ class TestPrimitiveReduction:
             [11, 17, 8], rng.uniform(0, 1, (3, 3)),
         )
         assert primitive_reduce(s).num_atoms == 3
+
+    def test_list_api_prefilter_agrees_with_exact_on_supercells(self):
+        """Regression (r3 review): the list-API fingerprint prefilter must be
+        computed on the primitive-REDUCED structure — a raw supercell's
+        minimum-image spectrum interleaves distances its primitive lacks,
+        falsely rejecting pairs the primitive_cell=True exact fit matches
+        (9/25 seeds pre-fix)."""
+        from matinvent_tpu.chem.matcher import (
+            DisorderedExactStructureMatcher,
+            DisorderedStructureMatcher,
+        )
+
+        exact = DisorderedExactStructureMatcher()
+        lst = DisorderedStructureMatcher()
+        disagree = []
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            lat = np.diag([6.0, 6.5, 7.0]) + rng.normal(0, 0.2, (3, 3))
+            frac = rng.uniform(0, 1, (10, 3))
+            sp = np.array([11] * 4 + [17] * 4 + [8] * 2)
+            prim = Structure(lat, sp, frac)
+            lat2 = lat.copy()
+            lat2[0] *= 2
+            f2 = np.vstack(
+                [frac * [0.5, 1, 1], frac * [0.5, 1, 1] + [0.5, 0, 0]]
+            )
+            sup = Structure(
+                lat2, np.concatenate([sp, sp]),
+                (f2 + rng.normal(0, 0.03, f2.shape) @ np.linalg.inv(lat2))
+                % 1.0,
+            )
+            if exact.fit(prim, sup) != lst.fit(prim, sup):
+                disagree.append(seed)
+        assert not disagree, disagree
