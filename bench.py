@@ -111,12 +111,10 @@ def bench_mattergen() -> dict:
         batch_size=B, num_batches=1, max_atoms=A,
         num_atoms_distribution="ALEX_MP_20", size_buckets=n_buckets, seed=0,
     )
-    from matinvent_tpu.models.mattergen.sample import bucket_split
-
     draws = sampler._draw_num_atoms(B)
     evals = T * (1 + cfg.n_corrector)
     flops = 0
-    for idx, cap in zip(*bucket_split(draws, n_buckets, A)):
+    for idx, cap in zip(*sampler.bucket_plan(draws)):
         flops += _mattergen_flops_per_eval(len(idx), cap, H, L) * evals
     mfu = flops / dt / (V5E_BF16_PEAK_TFLOPS * 1e12)
     return {

@@ -494,6 +494,51 @@ def test_bucket_split_is_partition_with_aligned_caps():
         assert int(draws[idx].max()) <= cap
 
 
+def test_bucket_split_dp_plan_beats_equal_count_and_is_shape_stable():
+    """hist-planned split: valid partition, deterministic row counts across
+    draws (compile-key stability), and no more padded FLOPs than the
+    equal-count split at the bench operating point."""
+    from matinvent_tpu.models.mattergen.sample import (
+        NUM_ATOMS_DISTRIBUTIONS,
+        _per_structure_eval_flops,
+        bucket_split,
+    )
+
+    h = np.asarray(NUM_ATOMS_DISTRIBUTIONS["mp_20"])
+    p = h / h.sum()
+
+    def cost(cuts, caps):
+        return sum(len(c) * _per_structure_eval_flops(cap)
+                   for c, cap in zip(cuts, caps))
+
+    rows_seen = set()
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        draws = np.clip(rng.choice(len(h), size=1024, p=p), 1, 20).astype(
+            np.int32
+        )
+        cuts_eq, caps_eq = bucket_split(draws, 4, 20)
+        cuts_dp, caps_dp = bucket_split(draws, 4, 20, hist=h)
+        all_idx = np.sort(np.concatenate(cuts_dp))
+        np.testing.assert_array_equal(all_idx, np.arange(1024))
+        for idx, cap in zip(cuts_dp, caps_dp):
+            assert int(draws[idx].max()) <= cap
+        assert cost(cuts_dp, caps_dp) <= cost(cuts_eq, caps_eq) * 1.001
+        rows_seen.add(tuple(len(c) for c in cuts_dp))
+    # planned from the histogram, not the draws: one shape across all seeds
+    # (a >=3-sigma cap overflow could legitimately merge buckets, but not in
+    # these 5 fixed seeds)
+    assert len(rows_seen) == 1
+
+
+def test_bucket_split_merges_equal_cap_buckets():
+    from matinvent_tpu.models.mattergen.sample import bucket_split
+
+    draws = np.full(32, 7, np.int32)  # every bucket would cap at 8
+    cuts, caps = bucket_split(draws, 4, 20)
+    assert caps == [8] and len(cuts) == 1 and len(cuts[0]) == 32
+
+
 def test_num_atoms_registries_mirror_both_ways():
     from matinvent_tpu.models.mattergen.sample import (
         NUM_ATOMS_DISTRIBUTIONS,
