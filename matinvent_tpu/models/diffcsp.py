@@ -34,6 +34,7 @@ from matinvent_tpu.ops.wrapped_normal import (
     d_log_p_wrapped_normal,
     log_prob_wrapped_normal,
 )
+from matinvent_tpu.utils.xla_opts import COMPILER_OPTIONS
 
 
 def sinusoidal_time_embedding(times: jax.Array, dim: int) -> jax.Array:
@@ -449,7 +450,11 @@ class DiffCSPDiffusion:
         return log_prob_l, log_prob_t, log_prob_x, (pred_l, pred_x_corr, pred_t)
 
     # --------------------------------------------------------------- sampling
-    @partial(jax.jit, static_argnames=("self", "max_atoms", "record_traj"))
+    @partial(
+        jax.jit,
+        static_argnames=("self", "max_atoms", "record_traj"),
+        compiler_options=COMPILER_OPTIONS,
+    )
     def sample(
         self,
         params,

@@ -36,6 +36,7 @@ from matinvent_tpu.models.mattergen.corruption import (
 from matinvent_tpu.models.mattergen.score_net import MatterGenScoreNet
 from matinvent_tpu.ops.segment import graph_mean
 from matinvent_tpu.ops.wrapped_normal import log_prob_wrapped_normal
+from matinvent_tpu.utils.xla_opts import COMPILER_OPTIONS
 
 
 class MGNoised(NamedTuple):
@@ -660,6 +661,7 @@ class MatterGenDiffusion:
     @partial(
         jax.jit,
         static_argnames=("self", "max_atoms", "guidance", "record_traj"),
+        compiler_options=COMPILER_OPTIONS,
     )
     def sample(
         self,
@@ -708,7 +710,11 @@ class MatterGenDiffusion:
         state, traj = jax.lax.scan(step, state, jnp.arange(self.config.timesteps))
         return self._finalize(state, mask, num_atoms), traj
 
-    @partial(jax.jit, static_argnames=("self", "bucket_max_atoms", "guidance"))
+    @partial(
+        jax.jit,
+        static_argnames=("self", "bucket_max_atoms", "guidance"),
+        compiler_options=COMPILER_OPTIONS,
+    )
     def sample_bucketed(
         self,
         params,

@@ -203,3 +203,24 @@ class TestScaler:
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
         sc2 = StandardScaler.from_state_dict(sc.state_dict())
         np.testing.assert_allclose(np.asarray(sc2.means), np.asarray(sc.means))
+
+
+class TestXlaOpts:
+    def test_parse_and_default(self, monkeypatch):
+        from matinvent_tpu.utils import xla_opts
+
+        monkeypatch.delenv("MATINVENT_XLA_OPTS", raising=False)
+        assert xla_opts.compiler_options() is None
+        monkeypatch.setenv(
+            "MATINVENT_XLA_OPTS",
+            "xla_tpu_enable_latency_hiding_scheduler=true, a = b ,",
+        )
+        assert xla_opts.compiler_options() == {
+            "xla_tpu_enable_latency_hiding_scheduler": "true",
+            "a": "b",
+        }
+        monkeypatch.setenv("MATINVENT_XLA_OPTS", "notakv")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            xla_opts.compiler_options()
