@@ -75,7 +75,8 @@ def bench_mattergen() -> dict:
     from matinvent_tpu.models.mattergen.sample import MatterGenSampler
 
     # default operating point: the measured knee of the batch x bucket grid
-    # (experiments/results/bench_sweep_r3.json — 190.8 structs/s, MFU 0.51;
+    # (experiments/results/bench_sweep_r3.json — 190.8 structs/s; re-measured
+    # 191.0 @ MFU 0.45 under the FLOPs-optimal bucket accounting;
     # 2048x4 regresses, 1024x5 trades MFU for nothing)
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     A, T, H, L = 20, 1000, 256, 6
