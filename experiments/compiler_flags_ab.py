@@ -1,10 +1,11 @@
 """On-chip A/B of per-compile XLA scheduler options on the sampling scan.
 
-The north-star sampling workload sits at MFU ~0.27 — part of the gap is
-memory-latency/scheduling, which xla_tpu_enable_latency_hiding_scheduler
-targets. jax.jit(compiler_options=...) forwards proto-backed DebugOptions
-per compile (works through the axon relay, unlike XLA_FLAGS which the CPU
-client rejects).
+jax.jit(compiler_options=...) forwards proto-backed DebugOptions per
+compile (works through the axon relay, unlike XLA_FLAGS which the CPU
+client rejects). For the production paths the same options flow through
+the MATINVENT_XLA_OPTS env knob (matinvent_tpu/utils/xla_opts.py) — the
+headline-path A/B is archived in results/xla_flags_ab_r3.json: the
+latency-hiding scheduler is neutral on one chip (no collectives to hide).
 
     python experiments/compiler_flags_ab.py [B=64] [A=20] [T=1000]
 """
