@@ -25,18 +25,16 @@ from matinvent_tpu.models.sample import ATOM_DIST, batch_to_structures
 # The reference's default MatterGen num-atoms distribution is ALEX_MP_20
 # (models/mattergen/sample.py:132). Its exact histogram ships inside the
 # external mattergen wheel (mattergen.common.data.num_atoms_distribution) —
-# not obtainable in this offline environment. mp_20 is the closest in-repo
-# distribution and is the documented stand-in (both cap at 20 atoms); the
-# exact table can be dropped in via register_num_atoms_distribution /
-# load_num_atoms_distributions once available.
+# not obtainable in this offline environment, so the name is STRICTLY
+# user-supplied here (final disposition, VERDICT r3 #7): resolving it
+# without a registered table raises with the drop-in hooks named. The
+# framework defaults to the honestly-named real histograms instead —
+# ``mp_20`` (the published MP-20 dataset statistics, the closest in-repo
+# distribution; both cap at 20 atoms) and ``matinvent_corpus`` (derived
+# from the in-repo training corpus).
 NUM_ATOMS_DISTRIBUTIONS = {
     k: np.asarray(v, dtype=float) for k, v in ATOM_DIST.items()
 }
-NUM_ATOMS_DISTRIBUTIONS["ALEX_MP_20"] = NUM_ATOMS_DISTRIBUTIONS["mp_20"]
-# True until a real ALEX_MP_20 table is registered; the sampler warns loudly
-# at construction while the stand-in is live (the draw distribution shapes
-# bucket sizes, throughput, and every generated-size statistic)
-_ALEX_MP20_IS_ALIAS = True
 
 # "matinvent_corpus" (the in-repo corpus-derived histogram) arrives through
 # the ATOM_DIST snapshot above — single source in models/sample.py.
@@ -56,10 +54,6 @@ def register_num_atoms_distribution(name: str, hist) -> None:
         arr = np.asarray(hist, dtype=float)
     if arr.sum() <= 0:
         raise ValueError(f"histogram {name} has no mass")
-    if name == "ALEX_MP_20":
-        # a real table replaces the mp_20 stand-in: stop warning
-        global _ALEX_MP20_IS_ALIAS
-        _ALEX_MP20_IS_ALIAS = False
     NUM_ATOMS_DISTRIBUTIONS[name] = arr / arr.sum()
     # both sampler families share one histogram namespace: mirror into the
     # DiffCSP registry too (models/sample.register_atom_dist mirrors the
@@ -227,7 +221,10 @@ class MatterGenSampler:
     batch_size: int | None = None
     num_batches: int | None = None
     target_compositions_dict: list[dict[str, float]] | None = None
-    num_atoms_distribution: str = "ALEX_MP_20"
+    # default: the published MP-20 dataset histogram — the closest in-repo
+    # real distribution to the reference's ALEX_MP_20 (which must be
+    # user-supplied, see module docs)
+    num_atoms_distribution: str = "mp_20"
     # optional JSON file of {name: histogram} loaded before resolution — the
     # hook for dropping in the exact ALEX_MP_20 table from the mattergen wheel
     num_atoms_distribution_file: str | None = None
@@ -263,22 +260,22 @@ class MatterGenSampler:
     def __post_init__(self):
         if self.num_atoms_distribution_file:
             load_num_atoms_distributions(self.num_atoms_distribution_file)
-        assert self.num_atoms_distribution in NUM_ATOMS_DISTRIBUTIONS, (
-            f"num_atoms_distribution must be one of "
-            f"{list(NUM_ATOMS_DISTRIBUTIONS)}, got {self.num_atoms_distribution}"
-        )
-        if self.num_atoms_distribution == "ALEX_MP_20" and _ALEX_MP20_IS_ALIAS:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "num_atoms_distribution='ALEX_MP_20' is currently an mp_20 "
-                "ALIAS: the exact ALEX_MP_20 histogram ships inside the "
-                "external mattergen wheel and is not available offline. "
-                "Generated-size statistics, bucket shapes and throughput "
-                "will differ from the reference. Drop in the real table via "
-                "num_atoms_distribution_file / "
-                "register_num_atoms_distribution('ALEX_MP_20', hist), or use "
-                "'matinvent_corpus' for the in-repo corpus-derived histogram."
+        if self.num_atoms_distribution not in NUM_ATOMS_DISTRIBUTIONS:
+            hint = ""
+            if self.num_atoms_distribution == "ALEX_MP_20":
+                hint = (
+                    " ALEX_MP_20 is strictly user-supplied: the exact "
+                    "histogram ships inside the external mattergen wheel and "
+                    "is not available offline. Drop it in via "
+                    "num_atoms_distribution_file / "
+                    "register_num_atoms_distribution('ALEX_MP_20', hist), or "
+                    "use 'mp_20' (published MP-20 statistics) / "
+                    "'matinvent_corpus' (in-repo corpus histogram)."
+                )
+            raise ValueError(
+                f"num_atoms_distribution must be one of "
+                f"{list(NUM_ATOMS_DISTRIBUTIONS)}, got "
+                f"{self.num_atoms_distribution!r}." + hint
             )
         self._rng = np.random.default_rng(self.seed)
         self._key = jax.random.PRNGKey(self.seed)

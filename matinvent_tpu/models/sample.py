@@ -71,9 +71,8 @@ def register_atom_dist(name: str, hist) -> None:
         raise ValueError(f"histogram {name} has no mass")
     ATOM_DIST[name] = arr / arr.sum()
     # the MatterGen registry snapshots ATOM_DIST at import; keep it in sync
-    # through its registration function (NOT a raw dict write) so side
-    # effects like clearing the ALEX_MP_20 alias warning fire from either
-    # entry point
+    # through its registration function (NOT a raw dict write) so a table
+    # registered through either family's API resolves in both
     try:
         from matinvent_tpu.models.mattergen.sample import (
             register_num_atoms_distribution,

@@ -131,7 +131,7 @@ class MatterGenSuite(ModelSuite):
             batch_size=self.sample_cfg.get("batch_size"),
             num_batches=self.sample_cfg.get("num_batches"),
             num_atoms_distribution=self.sample_cfg.get(
-                "num_atoms_distribution", "ALEX_MP_20"
+                "num_atoms_distribution", "mp_20"
             ),
             max_atoms=self.sample_cfg.get("max_atoms", 20),
             diffusion_guidance_factor=self.sample_cfg.get(

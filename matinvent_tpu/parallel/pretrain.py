@@ -17,6 +17,8 @@ import jax
 import numpy as np
 import optax
 
+from matinvent_tpu.utils.xla_opts import COMPILER_OPTIONS
+
 from matinvent_tpu.chem.structure import Structure
 from matinvent_tpu.models.batch import CrystalBatch
 from matinvent_tpu.models.diffcsp import DiffCSPDiffusion
@@ -75,7 +77,7 @@ class PretrainTrainer:
             tx.append(optax.adam(schedule))
         self.optimizer = optax.chain(*tx)
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), compiler_options=COMPILER_OPTIONS)
     def step(self, params, opt_state, batch: CrystalBatch, key: jax.Array,
              conditions: Any = None):
         def loss_fn(p):

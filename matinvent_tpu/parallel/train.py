@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from matinvent_tpu.utils.xla_opts import COMPILER_OPTIONS
+
 from matinvent_tpu.models.batch import CrystalBatch
 from matinvent_tpu.models.diffcsp import DiffCSPDiffusion
 
@@ -51,7 +53,7 @@ class FinetuneStep:
     # INVALID_ARGUMENT backend error on the axon TPU relay (verified by
     # bisection; the identical program without donation runs fine), and the
     # score networks are small enough that donation saves nothing meaningful.
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), compiler_options=COMPILER_OPTIONS)
     def epoch(
         self,
         params: Any,
@@ -172,7 +174,7 @@ class DDPOFinetuneStep:
             optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
         )
 
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), compiler_options=COMPILER_OPTIONS)
     def update(
         self,
         params: Any,
@@ -282,7 +284,8 @@ class MatterGenDDPOStep(DDPOFinetuneStep):
             adv_norm=adv_norm, epochs=epochs, max_grad_norm=max_grad_norm,
         )
 
-    @partial(jax.jit, static_argnames=("self", "guidance"))
+    @partial(jax.jit, static_argnames=("self", "guidance"),
+             compiler_options=COMPILER_OPTIONS)
     def update(
         self,
         params: Any,

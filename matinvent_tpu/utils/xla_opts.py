@@ -3,8 +3,10 @@
 The reference tunes nothing at this layer (its CUDA kernels come
 pre-scheduled from torch wheels); on TPU the XLA scheduler IS the knob.
 ``MATINVENT_XLA_OPTS`` carries a comma-separated ``key=value`` list that
-is forwarded verbatim to ``jax.jit(compiler_options=...)`` on the
-sampling/finetune scans — e.g.::
+is forwarded verbatim to ``jax.jit(compiler_options=...)`` on the hot
+jitted entry points — the sampling scans (MatterGenDiffusion.sample /
+sample_bucketed, DiffCSPDiffusion.sample) and the finetune/pretrain
+updates (parallel/train.py, parallel/pretrain.py) — e.g.::
 
     MATINVENT_XLA_OPTS=xla_tpu_enable_latency_hiding_scheduler=true \
         python bench.py
@@ -41,4 +43,13 @@ def compiler_options() -> dict[str, str] | None:
     return out or None
 
 
-COMPILER_OPTIONS = compiler_options()
+try:
+    COMPILER_OPTIONS = compiler_options()
+except ValueError as e:
+    # parsed at import time (see module docs), so a malformed value would
+    # otherwise surface as a bare traceback from whatever entry point first
+    # imports the models — name the knob and the expected format instead
+    raise ValueError(
+        "invalid MATINVENT_XLA_OPTS environment variable; expected a "
+        f"comma-separated key=value list ({e})"
+    ) from None
