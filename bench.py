@@ -39,6 +39,12 @@ import os
 # multi-minute remote compiles of the 1000-step scans
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Raised scoped-VMEM limit: measured +1.9% on the headline workload (194.8
+# vs 191.3 structs/s, MFU 0.455 — larger fusion tiles; 128 MiB overshoots
+# and regresses to 124, experiments/results/xla_flags_ab_r4.json). Costs
+# ~415 s vs ~71 s compile, acceptable for the fixed-shape headline path and
+# excluded from the timed repeats. Overridable via MATINVENT_XLA_OPTS.
+os.environ.setdefault("MATINVENT_XLA_OPTS", "xla_tpu_scoped_vmem_limit_kib=65536")
 
 import json
 import time

@@ -61,6 +61,7 @@ class CSPLayer(nn.Module):
         lattice: jax.Array,  # [B, 3, 3]
         edge_mask: jax.Array,  # [B, A, A] bool: j is a neighbor of i
         denom: jax.Array,  # [B, A] aggregation denominator per node
+        dist_emb: jax.Array | None = None,  # precomputed edge features
     ) -> jax.Array:
         H = self.hidden_dim
         dis_dim = self.num_freqs * 2 * 3 if self.use_dis_emb else 3
@@ -70,8 +71,17 @@ class CSPLayer(nn.Module):
         node_features = node_features.astype(self.dtype)
 
         # periodic Fourier features in f32 (bf16 coords are too coarse for
-        # high-frequency phases), cast afterwards for the MXU matmul
-        if self.use_dis_emb:
+        # high-frequency phases), cast afterwards for the MXU matmul.
+        # ``dist_emb`` lets the caller hoist this out of the layer loop:
+        # frac_diff is layer-independent, but XLA does NOT CSE the sin/cos
+        # chain across layers (measured on v5e: 1.27e9 transcendentals/step
+        # at the bench operating point = per-layer recompute, plus an f32
+        # [E, 60] materialization per layer ~30% of the step's HBM bytes) —
+        # bit-identical math, computed once per net eval instead of once per
+        # layer (experiments/results/profile_step_r4.json).
+        if dist_emb is not None:
+            dist = dist_emb
+        elif self.use_dis_emb:
             dist = sinusoids_embedding(frac_diff.astype(jnp.float32), self.num_freqs)
         else:
             dist = frac_diff
@@ -115,7 +125,10 @@ class CSPLayer(nn.Module):
 
         # Aggregate at node i over its neighbors j (scatter-mean parity: for
         # fc edges denom = num_atoms incl. the self-loop; for knn edges denom =
-        # per-node neighbor count).
+        # per-node neighbor count). A mask-weighted dot_general formulation
+        # was A/B'd on v5e and is time-identical (XLA already fuses this
+        # mask+reduce into the edge MLP's consumer chain) — keep the simpler
+        # masked sum.
         edge = edge * edge_mask[..., None].astype(edge.dtype)
         agg = jnp.sum(edge, axis=2) / jnp.maximum(denom, 1.0).astype(edge.dtype)[:, :, None]
 
@@ -175,6 +188,12 @@ class CSPNet(nn.Module):
         # Fourier features are 1-periodic, so mod-1 differences embed
         # identically to min-image vectors.
         frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
+        # hoisted once per eval and shared across layers (see CSPLayer)
+        dist_emb = (
+            sinusoids_embedding(frac_diff.astype(jnp.float32), self.num_freqs)
+            .astype(self.dtype)
+            if self.use_dis_emb else None
+        )
 
         if self.edge_style == "fc":
             edge_mask = mask[:, :, None] & mask[:, None, :]
@@ -201,7 +220,7 @@ class CSPNet(nn.Module):
                 ip=self.ip,
                 dtype=self.dtype,
                 name=f"csp_layer_{i}",
-            )(node, frac_diff, lattice, edge_mask, denom)
+            )(node, frac_diff, lattice, edge_mask, denom, dist_emb=dist_emb)
 
         if self.ln:
             node = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(node)
