@@ -59,7 +59,8 @@ def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
 
 def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
                        timesteps: int = 100, batch_size: int = 128,
-                       max_atoms: int = 8) -> None:
+                       max_atoms: int = 8, hidden_dim: int = 128,
+                       num_layers: int = 4, lr: float = 1.5e-3) -> None:
     """The one MatterGen-family pretrain recipe, shared by every experiment
     driver (rl_predictor_runs.py, gen_eval_run.py import it from here)."""
     import jax
@@ -70,15 +71,15 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
     from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
 
     suite = MatterGenSuite(
-        model_cfg=dict(hidden_dim=128, num_layers=4, time_dim=128,
-                       timesteps=timesteps),
+        model_cfg=dict(hidden_dim=hidden_dim, num_layers=num_layers,
+                       time_dim=128, timesteps=timesteps),
         sample_cfg={"max_atoms": max_atoms},
     )
     diffusion, params = suite.load_model()
     structures = read_extxyz(data_path)
     rng = np.random.default_rng(0)
     batches = structures_to_batches(structures, batch_size, max_atoms, rng)
-    trainer = PretrainTrainer(diffusion, lr=1.5e-3, total_steps=steps)
+    trainer = PretrainTrainer(diffusion, lr=lr, total_steps=steps)
     params, _ = trainer.train(
         params, batches, steps, jax.random.PRNGKey(0),
         log_every=max(steps // 20, 1),

@@ -63,3 +63,85 @@ def cation_pool(max_z: int = 83) -> list[int]:
 
 def anion_pool(symbols=("O", "S", "Se", "F", "Cl", "Br", "N", "P")) -> list[int]:
     return [Z_BY_SYMBOL[s] for s in symbols]
+
+
+def make_rich_structure(
+    rng: "np.random.Generator",
+    max_atoms: int = 20,
+    jitter: float = 0.02,
+):
+    """One structure from the full motif x supercell x element x distortion
+    design space (2-``max_atoms`` atom cells).
+
+    The base 4-motif corpus (experiments/rl_demo.make_dataset) spans only
+    2-5 atom single-cation cubic cells — anonymized (disordered-tier)
+    matching collapses it onto a handful of prototypes, which is why the r3
+    gen_eval artifact reported unique-fraction 0.05 (VERDICT r3 weak #6).
+    Diversity levers here, each of which is distinguishable under anonymized
+    exact matching:
+
+    * all 7 prototype motifs (incl. perovskite / wurtzite-ish internal DOF),
+    * random supercells up to ``max_atoms`` atoms (distinct geometries),
+    * cation/anion site substitution in supercells (ordered derivatives
+      with distinct stoichiometries),
+    * anisotropic per-axis scaling + mild angle distortion (distinct
+      lattices beyond cubic),
+    * coordinate jitter.
+
+    Returns a ``matinvent_tpu.chem.structure.Structure``.
+    """
+    from matinvent_tpu.chem.relax import _COVALENT_RADII
+    from matinvent_tpu.chem.structure import Structure
+
+    cations, anions = cation_pool(), anion_pool()
+    names = list(MOTIFS)
+    while True:
+        coords, (n_cat, n_an) = MOTIFS[names[rng.integers(len(names))]]
+        base = len(coords)
+        # random supercell factors that keep the cell under max_atoms
+        cap = max_atoms // base
+        if cap < 1:
+            continue
+        while True:
+            f = rng.integers(1, 4, size=3)
+            if int(np.prod(f)) <= cap:
+                break
+        reps = int(np.prod(f))
+        # tile fractional coords into the supercell
+        cells = np.stack(
+            np.meshgrid(np.arange(f[0]), np.arange(f[1]), np.arange(f[2]),
+                        indexing="ij"),
+            axis=-1,
+        ).reshape(-1, 3)
+        sc = ((coords[None, :, :] + cells[:, None, :]) / f).reshape(-1, 3)
+
+        cat = int(rng.choice(cations))
+        an = int(rng.choice(anions))
+        species = ([cat] * n_cat + [an] * n_an) * reps
+        species = np.asarray(species)
+        site_is_cat = np.asarray(([True] * n_cat + [False] * n_an) * reps)
+        # ordered-derivative substitution: a second cation (and sometimes a
+        # second anion) on a random subset of sites
+        if reps > 1 or n_cat > 1:
+            if rng.random() < 0.6:
+                cat2 = int(rng.choice(cations))
+                idx = np.where(site_is_cat)[0]
+                k = rng.integers(1, max(len(idx) // 2, 1) + 1)
+                species[rng.choice(idx, size=k, replace=False)] = cat2
+            if (reps > 1 or n_an > 1) and rng.random() < 0.3:
+                an2 = int(rng.choice(anions))
+                idx = np.where(~site_is_cat)[0]
+                k = rng.integers(1, max(len(idx) // 2, 1) + 1)
+                species[rng.choice(idx, size=k, replace=False)] = an2
+
+        r = _COVALENT_RADII[cat] + _COVALENT_RADII[an]
+        # per-axis anisotropy on top of the supercell factors; mild angle
+        # distortion half the time (triclinic-ish cells)
+        abc = [float(r * rng.uniform(1.7, 2.3) * rng.uniform(0.92, 1.08) * fi)
+               for fi in f]
+        if rng.random() < 0.5:
+            angles = [float(rng.uniform(82.0, 98.0)) for _ in range(3)]
+        else:
+            angles = [90.0, 90.0, 90.0]
+        sc = (sc + rng.normal(0, jitter, sc.shape)) % 1.0
+        return Structure.from_parameters(abc, angles, species.tolist(), sc)

@@ -16,6 +16,12 @@ Writes:
                                     plus 0.0 elemental endpoints
 
     python tools/make_reference_dataset.py out=experiments/data [n=2000]
+
+``rich=1`` switches the generator to the full motif x supercell x element x
+distortion design space (chem/motifs.make_rich_structure, 2-20 atom cells,
+ordered-derivative substitutions, anisotropic cells) — the non-toy corpus of
+VERDICT r3 #5; ``max_atoms=`` bounds the cell size, ``name=`` the output
+file stem (default ``reference``).
 """
 from __future__ import annotations
 
@@ -36,6 +42,9 @@ def main(argv: list[str]) -> None:
     out_dir = kv.get("out", "experiments/data")
     n = int(kv.get("n", 2000))
     seed = int(kv.get("seed", 0))
+    rich = kv.get("rich", "0") not in ("0", "false", "")
+    max_atoms = int(kv.get("max_atoms", 20))
+    name = kv.get("name", "reference")
     os.makedirs(out_dir, exist_ok=True)
 
     # the demo corpus generator (plausible ionic motif crystals)
@@ -54,17 +63,27 @@ def main(argv: list[str]) -> None:
     from matinvent_tpu.chem.structure import read_extxyz
     from matinvent_tpu.pipeline.filters import invalid_filter
 
-    xyz_path = os.path.join(out_dir, "reference.extxyz")
+    xyz_path = os.path.join(out_dir, f"{name}.extxyz")
     tmp_path = xyz_path + ".raw"
     structures: list = []
     tries = 0
     while len(structures) < n and tries < 6:
-        demo.make_dataset(tmp_path, n=2 * n, seed=seed + tries)
-        cand = read_extxyz(tmp_path)
+        if rich:
+            from matinvent_tpu.chem.motifs import make_rich_structure
+
+            rng = np.random.default_rng(seed + tries)
+            cand = [
+                make_rich_structure(rng, max_atoms=max_atoms)
+                for _ in range(2 * n)
+            ]
+        else:
+            demo.make_dataset(tmp_path, n=2 * n, seed=seed + tries)
+            cand = read_extxyz(tmp_path)
         mask = invalid_filter(cand, cand, return_mask=True)
         structures.extend([s for s, m in zip(cand, mask) if m])
         tries += 1
-    os.remove(tmp_path)
+    if os.path.exists(tmp_path):
+        os.remove(tmp_path)
     structures = structures[:n]
     save_extxyz(structures, xyz_path)
 
@@ -81,7 +100,7 @@ def main(argv: list[str]) -> None:
     for el in sorted(elements):
         energies.setdefault(el, 0.0)
 
-    json_path = os.path.join(out_dir, "reference_energies.json")
+    json_path = os.path.join(out_dir, f"{name}_energies.json")
     with open(json_path, "w") as fh:
         json.dump(energies, fh, indent=1, sort_keys=True)
     print(
