@@ -61,8 +61,15 @@ class PretrainTrainer:
         weight_decay: float = 0.0,
         total_steps: int | None = None,
         warmup_steps: int = 200,
+        cond_dropout: float = 0.1,
     ):
         self.diffusion = diffusion
+        # classifier-free condition dropout for conditional training: the
+        # fraction of samples whose condition embedding is replaced by the
+        # learned null token (the CFG 'unconditional' signal). Raising it
+        # weakens the conditional pathway — experiments/cfg_ablation_r4.py
+        # uses that to expose the regime where guidance>0 helps.
+        self.cond_dropout = cond_dropout
         if total_steps:
             schedule = optax.warmup_cosine_decay_schedule(
                 0.0, lr, min(warmup_steps, total_steps // 10 + 1),
@@ -83,7 +90,10 @@ class PretrainTrainer:
         def loss_fn(p):
             if conditions is None:
                 return self.diffusion.training_loss(p, batch, key)
-            return self.diffusion.training_loss(p, batch, key, conditions=conditions)
+            return self.diffusion.training_loss(
+                p, batch, key, conditions=conditions,
+                cond_dropout=self.cond_dropout,
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
