@@ -1,0 +1,37 @@
+"""Weak scaling of the dp paths on the virtual mesh (VERDICT r3 #9).
+
+With a fixed per-device batch on the 1-core host, ideal weak scaling is
+wall(n) = n * wall(1); overhead above ~1 exposes hidden per-step host syncs
+or resharding inside the scans. The full-size artifact lives at
+experiments/results/weak_scaling_r4.json (experiments/weak_scaling_r4.py);
+this test re-measures at reduced shapes and asserts the dp sample scan and
+the MatterGen DDPO update stay under 1.3x overhead from 1 -> 8 devices.
+"""
+import importlib.util
+import os
+
+import pytest
+
+
+def _load_harness():
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(
+        os.path.dirname(here), "experiments", "weak_scaling_r4.py"
+    )
+    spec = importlib.util.spec_from_file_location("weak_scaling_r4", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_dp_weak_scaling_overhead_under_1p3():
+    mod = _load_harness()
+    res = mod.measure(
+        device_counts=(1, 8), per_dev_batch=8, max_atoms=6, timesteps=24,
+        hidden=32, layers=1, ddpo_timesteps=8, repeats=2,
+    )
+    # generous bound: timing on a shared 1-core CI host is noisy, but a
+    # hidden per-step reshard/host-sync shows up as 2-10x, not 1.3x
+    assert res["sample_overhead"][8] < 1.3, res
+    assert res["ddpo_overhead"][8] < 1.3, res
