@@ -19,6 +19,13 @@ ALIGNN_MODEL_LIST naming, prediction.py:30-197):
 
 Use the sibling ``PropertyPredictor`` (trained-in-repo weights, TPU-dense
 backbone) when no published checkpoints are on disk.
+
+Residual risk (offline build): the native forward is verified against an
+in-repo NumPy oracle + invariance tests, never against a DGL alignn forward
+or published-checkpoint outputs — a shared misreading of alignn semantics
+(edge-gate normalization order, RBF endpoints, line-graph tie-breaking)
+would pass every in-repo test. ``tools/first_networked_run.py`` stage
+``alignn_golden`` captures DGL-vs-native goldens on the first networked run.
 """
 from __future__ import annotations
 

@@ -41,6 +41,14 @@ Teacher sources (``teacher=`` argument):
 Writes ``<out>/params.msgpack`` + ``config.yaml`` (loadable by
 MatterGenSuite) and ``<out>/distill_summary.json`` with the held-out match
 and sampled-statistics comparison.
+
+Residual risk (offline build): the pipeline is e2e-tested against the demo
+teacher only; ``_builder_mattergen_wheel`` (which rebuilds the published
+GemNet teacher through the external mattergen package) has never executed —
+no published artifact exists on this air-gapped host. A networked run would
+additionally prove the wheel builder, the published-ckpt key layout, and the
+distilled match quality on real weights: ``tools/first_networked_run.py``
+stage ``distill`` scripts exactly that.
 """
 from __future__ import annotations
 
