@@ -111,9 +111,15 @@ def main(argv: list[str]) -> None:
     # lr 3e-6 + grad clipping (at 1e-5+ the policy collapses off the valid
     # manifold), while MatterGen's continuous-SDE log-probs produce much
     # smaller PPO gradients — flat at 3e-6/1e-5, climbs 0.44->0.92 at
-    # lr 3e-4 x 2 epochs (rl_ddpo_mg_* sweep, experiments/results/)
+    # lr 3e-4 x 2 epochs (rl_ddpo_mg_* sweep, experiments/results/).
+    # MatterGen's lr must also be T-SCALED: the PPO log-prob sums T
+    # per-step terms, so 3e-4 (tuned at T=100) over-updates 10x at T=1000
+    # and collapses the policy after reaching reward 1.0; lr=3e-5 at
+    # T=1000 climbs stably to a ~0.9 plateau
+    # (rl_hhi_ddpo_mattergen_t1000{,_lr3e4}_summary.json)
     if mode == "ddpo":
-        lr = float(kv.get("lr", 3e-4 if family == "mattergen" else 3e-6))
+        default_lr = (3e-4 * 100.0 / timesteps) if family == "mattergen" else 3e-6
+        lr = float(kv.get("lr", default_lr))
         ddpo_epochs = int(kv.get("ddpo_epochs", 2 if family == "mattergen" else 1))
     else:
         lr = float(kv.get("lr", 1e-4))
