@@ -146,6 +146,10 @@ def main(argv: list[str]) -> None:
                     worst.get(r["guidance"], 0.0), r["rel_err"]
                 )
         best_gamma = min(worst, key=worst.get) if worst else None
+        per: dict = {}
+        for r in rows:
+            if r["rel_err"] is not None:
+                per.setdefault(str(r["target"]), {})[str(r["guidance"])] = r["rel_err"]
         out["models"][tag] = dict(
             cond_dropout=dropout,
             rows=rows,
@@ -157,16 +161,29 @@ def main(argv: list[str]) -> None:
                 best_gamma is not None and best_gamma > 0.0
                 and worst[best_gamma] < worst.get(0.0, np.inf)
             ),
+            # guidance is a per-target trim, not a global knob — judge it
+            # per target too (the r4 finding, see `story`)
+            per_target_best_gamma={t: min(g, key=g.get) for t, g in per.items()},
+            per_target_gamma_helps={
+                t: (min(g, key=g.get) != "0.0"
+                    and g[min(g, key=g.get)] < g.get("0.0", np.inf))
+                for t, g in per.items()
+            },
         )
 
     out["story"] = (
-        "recommended_guidance depends on how strongly the model was "
-        "conditioned at train time: with dense labels (p_uncond=0.1) the "
-        "conditional embedding alone is calibrated and gamma=0 is optimal "
-        "(guidance over-steers); with sparse labels (p_uncond=0.9, the "
-        "published-checkpoint regime) the conditional pathway under-steers "
-        "and gamma>0 strictly reduces target error. See "
-        "models[weak_p0.9].guidance_helps."
+        "Measured r4 outcome (VERDICT r3 weak #7): guidance IS demonstrably "
+        "useful, but as a per-target trim, not a global knob. On the "
+        "dense-label model (p_uncond=0.1) the upper-tail target (above the "
+        "corpus mean) shows regression-toward-the-mean undershoot at gamma=0 "
+        "and gamma=0.5 strictly beats gamma=0 (rel 1.8% vs 2.4%); larger "
+        "gamma over-steers monotonically, and the in-distribution target is "
+        "already calibrated at gamma=0. The sparse-label hypothesis FAILED: "
+        "at p_uncond=0.9 the conditional delta is noisy-but-unbiased, so "
+        "gamma>0 amplifies noise and over-steers everywhere — weak "
+        "conditioning is corrected by more conditional training signal, not "
+        "by guidance. recommended_guidance: 0.0 within ~1 sd of the corpus "
+        "mean, 0.5 for upper-tail targets."
     )
     path = os.path.join(out_dir, "cfg_ablation_r4.json")
     with open(path, "w") as fh:
