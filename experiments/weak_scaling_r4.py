@@ -28,6 +28,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This is by definition a virtual-CPU-mesh experiment: force the platform
+# regardless of the axon sitecustomize (the env var alone is NOT enough —
+# jax.config must be updated after import, see CLAUDE.md), and make sure
+# the host exposes 8 virtual devices before the backend initializes.
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def _timed(fn, repeats: int = 3) -> float:
     fn()  # compile + warmup
