@@ -101,10 +101,12 @@ def main(argv: list[str]) -> None:
     if not os.path.exists(data_path):
         demo.make_dataset(data_path)
 
-    if run in ("mag", "heatcap"):
+    if run in ("mag", "heatcap", "hhi"):
         family = "mattergen"
-        reward = "magnetic_density" if run == "mag" else "heat_capacity"
-        expname = "rl_mag_density" if run == "mag" else "rl_heat_capacity"
+        reward = {"mag": "magnetic_density", "heatcap": "heat_capacity",
+                  "hhi": "hhi"}[run]
+        expname = {"mag": "rl_mag_density", "heatcap": "rl_heat_capacity",
+                   "hhi": "rl_hhi_mattergen"}[run]
         # the time embedding is sinusoidal(t * timesteps): a ckpt pretrained
         # at one T cannot be reused at another — key the ckpt dir by T
         suffix = "" if timesteps == 100 else f"_t{timesteps}"
@@ -138,6 +140,16 @@ def main(argv: list[str]) -> None:
     topk = kv.get("topk", None)
     seed = kv.get("seed", "0")
     expname = kv.get("expname", expname)
+    # ckpt=/max_atoms=/num_atoms_file= retarget any config at another
+    # pretrain (e.g. the rich-corpus h256/L6 model pretrained_geneval_r4 —
+    # the ckpt dir's config.yaml is authoritative for the model shape)
+    ckpt_dir = os.path.abspath(kv.get("ckpt", ckpt_dir))
+    max_atoms = kv.get("max_atoms", "8")
+    # abspath: the pipeline chdirs into the run dir before SampleConfig
+    # resolves this path
+    num_atoms_file = kv.get("num_atoms_file")
+    if num_atoms_file:
+        num_atoms_file = os.path.abspath(num_atoms_file)
 
     cwd = os.getcwd()
     try:
@@ -149,7 +161,7 @@ def main(argv: list[str]) -> None:
                 f"model.model_path={ckpt_dir}",
                 "+model.config_overrides.sample_clip=30.0",
                 f"model.sample_cfg.batch_size={batch}",
-                "model.sample_cfg.max_atoms=8",
+                f"model.sample_cfg.max_atoms={max_atoms}",
                 # draw num-atoms from the pretrain corpus' own histogram:
                 # the mp_20 table asks for 5-8 atom cells the corpus-trained
                 # model never saw (clamped draws), halving valid samples
@@ -162,6 +174,8 @@ def main(argv: list[str]) -> None:
                 f"model.finetune_cfg.lr={lr}",
                 f"pipeline.save_freq={iters}",
             ]
+            + ([f"+model.sample_cfg.num_atoms_distribution_file={num_atoms_file}"]
+               if num_atoms_file else [])
             + ([f"pipeline.topk_ratio={topk}"] if topk else [])
             + ([f"pipeline.replay_args.sample_size={kv['replay_sample']}"]
                if "replay_sample" in kv else [])
