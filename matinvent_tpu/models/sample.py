@@ -105,6 +105,9 @@ class DiffCSPSampler:
     batch_size: int | None = None
     num_batches: int | None = None
     num_atoms_distribution: str = "mp_20"
+    # optional JSON file of {name: hist} tables loaded before resolution
+    # (same format as models/mattergen/sample.load_num_atoms_distributions)
+    num_atoms_distribution_file: str | None = None
     max_atoms: int = 20
     step_lr: float | None = None
     record_trajectories: bool = False
@@ -114,6 +117,12 @@ class DiffCSPSampler:
     last_num_atoms: Any = None
 
     def __post_init__(self):
+        if self.num_atoms_distribution_file:
+            from matinvent_tpu.models.mattergen.sample import (
+                load_num_atoms_distributions,
+            )
+
+            load_num_atoms_distributions(self.num_atoms_distribution_file)
         self._rng = np.random.default_rng(self.seed)
         self._key = jax.random.PRNGKey(self.seed)
 

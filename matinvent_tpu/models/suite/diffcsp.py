@@ -180,6 +180,9 @@ class DiffCSPSuite(ModelSuite):
             num_atoms_distribution=self.sample_cfg.get(
                 "num_atoms_distribution", "mp_20"
             ),
+            num_atoms_distribution_file=self.sample_cfg.get(
+                "num_atoms_distribution_file"
+            ),
             max_atoms=self.sample_cfg.get("max_atoms", 20),
             step_lr=self.sample_cfg.get("step_lr"),
             seed=self.seed,

@@ -133,6 +133,9 @@ class MatterGenSuite(ModelSuite):
             num_atoms_distribution=self.sample_cfg.get(
                 "num_atoms_distribution", "mp_20"
             ),
+            num_atoms_distribution_file=self.sample_cfg.get(
+                "num_atoms_distribution_file"
+            ),
             max_atoms=self.sample_cfg.get("max_atoms", 20),
             diffusion_guidance_factor=self.sample_cfg.get(
                 "diffusion_guidance_factor", 0.0
