@@ -85,6 +85,13 @@ def _ensure_diffcsp_pretrain(ckpt_dir: str, data_path: str, timesteps: int) -> N
 
 def main(argv: list[str]) -> None:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    # any dotted (or +dotted) key is forwarded verbatim as a CLI override —
+    # e.g. +sample_cfg.filter.reference.energies_path=... to point the
+    # OptFilter's novelty/stability reference at another corpus
+    passthrough = [
+        f"{k}={v}" for k, v in kv.items() if "." in k
+    ]
+    kv = {k: v for k, v in kv.items() if "." not in k}
     run = kv.get("run", "mag")
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
     iters = int(kv.get("iters", 60))
@@ -184,6 +191,7 @@ def main(argv: list[str]) -> None:
                 f"+model.finetune_cfg.ddpo_epochs={kv.get('ddpo_epochs', '1')}"]
                if kv.get("mode") == "ddpo" else [])
             + filter_args
+            + passthrough
         )
     finally:
         os.chdir(cwd)

@@ -206,9 +206,30 @@ def _strip_objects(node: Any) -> Any:
 
 
 def locate(target: str):
-    module_name, _, attr = target.rpartition(".")
-    module = importlib.import_module(module_name)
-    return getattr(module, attr)
+    """Resolve a dotted path to an object (hydra.utils.get_method semantics).
+
+    Imports the longest importable module prefix, then walks the remaining
+    segments as attributes — so both ``pkg.mod.Class`` and
+    ``pkg.mod.Class.classmethod`` targets resolve.
+    """
+    parts = target.split(".")
+    module = None
+    import_err: Exception | None = None
+    for split in range(len(parts) - 1, 0, -1):
+        try:
+            module = importlib.import_module(".".join(parts[:split]))
+            break
+        except ImportError as exc:
+            import_err = exc
+    if module is None:
+        raise ImportError(f"cannot locate {target!r}: {import_err}")
+    obj = module
+    for attr in parts[split:]:
+        try:
+            obj = getattr(obj, attr)
+        except AttributeError as exc:
+            raise ImportError(f"cannot locate {target!r}: {exc}") from exc
+    return obj
 
 
 def instantiate(node: Any, **extra):

@@ -53,6 +53,22 @@ class TestConfig:
         assert reward.threshold == 0.8
         assert reward.prop_cfg[0]["calculator"].task == "hhi"
 
+    def test_locate_classmethod_target(self, tmp_path):
+        # hydra.utils.get_method semantics: dotted attributes after the
+        # module resolve too, so factory classmethods are valid _target_s
+        ref = instantiate({
+            "_target_": (
+                "matinvent_tpu.pipeline.filters.ReferenceDataset.from_files"
+            ),
+        })
+        assert ref.structures == [] and ref.hull is None
+        from matinvent_tpu.utils.config import locate
+
+        with pytest.raises(ImportError):
+            locate("matinvent_tpu.pipeline.filters.NoSuchThing")
+        with pytest.raises(ImportError):
+            locate("no_such_pkg.no_such_mod.Thing")
+
 
 class TestFilters:
     def test_invalid_filter(self):
