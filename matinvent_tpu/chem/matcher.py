@@ -111,10 +111,20 @@ class StructureMatcher:
     ) -> np.ndarray:
         """True where a structure matches nothing in the reference set."""
         feats = feats if feats is not None else self.features(structures)
-        by_formula: dict[str, list] = {}
-        for r in reference:
-            f = self._features(r)
-            by_formula.setdefault(f[0], []).append(f)
+        # The RL loop calls this every iteration with the SAME reference list
+        # (OptFilter.reference.structures); featurizing a 12k-structure
+        # reference costs ~10 s per call on this host, so memoize the
+        # formula-bucketed reference features keyed by list identity.
+        key = (id(reference), len(reference))
+        cached = getattr(self, "_ref_feat_cache", None)
+        if cached is not None and cached[0] == key:
+            by_formula = cached[1]
+        else:
+            by_formula = {}
+            for r in reference:
+                f = self._features(r)
+                by_formula.setdefault(f[0], []).append(f)
+            self._ref_feat_cache = (key, by_formula)
         out = np.ones(len(structures), dtype=bool)
         for i, f in enumerate(feats):
             for rf in by_formula.get(f[0], []):

@@ -134,6 +134,22 @@ class TestMatcher:
         novel = m.novel_mask([a, scaled], [a])
         np.testing.assert_array_equal(novel, [False, True])
 
+    def test_novel_mask_reference_cache(self):
+        # repeated calls with the SAME reference list reuse cached features
+        # (the RL loop's per-iteration pattern); a different list re-buckets
+        m = StructureMatcher()
+        a, b = make_nacl(), Structure.from_parameters(
+            [7.0, 7.0, 7.0], [90, 90, 90], [11, 17],
+            np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+        )
+        ref = [a]
+        np.testing.assert_array_equal(m.novel_mask([a, b], ref), [False, True])
+        cache_after_first = m._ref_feat_cache
+        np.testing.assert_array_equal(m.novel_mask([a, b], ref), [False, True])
+        assert m._ref_feat_cache is cache_after_first
+        np.testing.assert_array_equal(m.novel_mask([a, b], [b]), [True, False])
+        assert m._ref_feat_cache is not cache_after_first
+
 
 class TestExactMatcher:
     """pymatgen-default-equivalent geometric fit (chem/matcher.py)."""
