@@ -48,6 +48,7 @@ def main(argv: list[str]) -> None:
 
     with open(out_path, "w") as fh:
         json.dump(rows, fh, indent=2)
+        fh.write("\n")
     best = max((r for r in rows if "value" in r), key=lambda r: r["value"])
     print(f"[sweep] best: batch={best['batch']} buckets={best['buckets']} "
           f"{best['value']} structs/s MFU {best['mfu']} -> {out_path}")

@@ -188,6 +188,7 @@ def main(argv: list[str]) -> None:
     path = os.path.join(out_dir, "cfg_ablation_r4.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
+        fh.write("\n")
     print("[cfg] " + json.dumps({k: v for k, v in out.items() if k != "models"}))
     for tag, m in out["models"].items():
         print(f"[cfg] {tag}: worst_by_gamma={m['worst_rel_error_by_guidance']} "

@@ -138,6 +138,7 @@ def main(argv: list[str]) -> None:
     )
     with open(os.path.join(out_dir, f"{expname}_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print("[cond-ddpo] " + json.dumps(
         {k: v for k, v in summary.items() if k != "reward_curve"}
     ))

@@ -172,6 +172,7 @@ def main(argv: list[str]) -> None:
     )
     with open(os.path.join(out_dir, "conditional_demo_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print("[cond] " + json.dumps(summary))
 
 

@@ -52,8 +52,11 @@ def score_extxyz(xyz_path: str, reward_name: str, work_dir: str, label: str):
         os.chdir(cwd)
     ok = rewards[~failed] if failed.any() else rewards
     thr = float(cfg["reward"].get("reward_threshold", 0.8))
+    # n = all generated structures; stats below are over the n_scored
+    # non-failed subset (scoring failures are excluded, not zero-filled)
     return {
         "n": int(len(strucs)),
+        "n_scored": int(len(ok)),
         "reward_mean": round(float(np.mean(ok)), 4),
         "reward_std": round(float(np.std(ok)), 4),
         "reward_p90": round(float(np.percentile(ok, 90)), 4),
@@ -133,6 +136,7 @@ def main(argv: list[str]) -> None:
     out_json = os.path.join(out_dir, f"post_rl_gen_eval_{name}.json")
     with open(out_json, "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print("[post_rl_gen_eval] " + json.dumps({
         "pre_reward": summary["pretrain"]["reward_stats"]["reward_mean"],
         "post_reward": summary["post_rl"]["reward_stats"]["reward_mean"],

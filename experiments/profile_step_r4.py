@@ -226,6 +226,7 @@ def main() -> None:
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
+        fh.write("\n")
     print(json.dumps(out, indent=2))
 
 

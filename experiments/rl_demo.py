@@ -210,6 +210,7 @@ def main(argv: list[str]) -> None:
     )
     with open(os.path.join(out_dir, summary_name), "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print("[demo] " + json.dumps({k: v for k, v in summary.items() if k != "reward_curve"}))
 
 

@@ -59,6 +59,7 @@ def summarize(run_dir: str, out_path: str, extra: dict) -> dict:
     )
     with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print("[rl_predictor] " + json.dumps(
         {k: v for k, v in summary.items() if k != "reward_curve"}
     ))

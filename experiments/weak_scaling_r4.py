@@ -164,7 +164,14 @@ def main() -> None:
     res["note"] = (
         "1-core host: all virtual devices share one core, so ideal weak "
         "scaling is wall(n) = n*wall(1); overhead(n) = wall(n)/(n*wall(1)). "
-        "overhead ~1 => no hidden host syncs / resharding in the scans."
+        "overhead ~1 => no hidden host syncs / resharding in the scans. "
+        "Sub-1.0 overheads are expected and benign: wall(1) includes a "
+        "per-dispatch fixed cost (host->relay dispatch + scan bookkeeping) "
+        "that does NOT grow with mesh size, so the n*wall(1) denominator "
+        "over-counts it n times; larger meshes amortize it over n* the "
+        "work. The signal this harness guards against is overhead >> 1 "
+        "(hidden per-step resharding/sync), bounded max-over-n in "
+        "tests/test_weak_scaling.py."
     )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results",
@@ -172,6 +179,7 @@ def main() -> None:
     )
     with open(path, "w") as fh:
         json.dump(res, fh, indent=2)
+        fh.write("\n")
     print(json.dumps(res, indent=2))
 
 

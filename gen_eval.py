@@ -157,6 +157,7 @@ def main(argv: list[str]) -> None:
     out_json = os.path.join(output_dir, "metrics.json")
     with open(out_json, "w") as fh:
         json.dump(metrics, fh, indent=2)
+        fh.write("\n")
     logging.info(f"metrics: {json.dumps(metrics)}")
 
 

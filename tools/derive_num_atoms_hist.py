@@ -42,6 +42,7 @@ def main(argv: list[str]) -> None:
     hist = derive(corpus)
     with open(out_path, "w") as fh:
         json.dump({name: {str(k): v for k, v in hist.items()}}, fh, indent=2)
+        fh.write("\n")
     print(f"[derive_num_atoms_hist] {name}: {hist} -> {out_path}")
 
 

@@ -666,6 +666,7 @@ def main(argv: list[str]) -> None:
     )
     with open(os.path.join(out_dir, "distill_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
+        fh.write("\n")
     print(f"[distill] wrote {out_dir}/distill_summary.json")
 
 

@@ -36,8 +36,17 @@ Usage on the networked host:
     python tools/first_networked_run.py plan=1     # print the plan, no work
 
 Each stage is idempotent (skips if its artifact exists) and writes under
-``exp_res/first_networked_run/``. This script has necessarily only been
-exercised in ``plan=1`` mode on the offline build host.
+``exp_res/first_networked_run/``. Stage parameters are overridable as
+``<stage>.<key>=<value>`` (e.g. ``distill.steps=2000``) — the defaults are
+the real networked-run settings.
+
+Offline rehearsal: tests/test_first_networked_run.py drives all four stages
+end-to-end in CI against a mocked network (fake HF snapshot + fake
+``mattergen`` wheel on disk, monkeypatched download functions), exercising
+stage idempotence, artifact formats (including that the alex_table output
+loads through the real ``num_atoms_distribution_file`` consumer), and the
+failure messaging. Only the downloads themselves and the published weights
+remain networked-run-only.
 """
 from __future__ import annotations
 
@@ -69,7 +78,13 @@ def _plan() -> None:
     print(__doc__)
 
 
-def stage_alex_table() -> None:
+def _opts(opts: dict | None, **defaults) -> dict:
+    o = dict(defaults)
+    o.update(opts or {})
+    return o
+
+
+def stage_alex_table(opts: dict | None = None) -> None:
     """Extract the real ALEX_MP_20 num-atoms histogram from the mattergen
     wheel and write it as a num_atoms_distribution_file JSON."""
     out = os.path.join(OUT, "num_atoms_distributions.json")
@@ -94,9 +109,10 @@ def stage_alex_table() -> None:
     )
 
 
-def stage_alignn_golden() -> None:
+def stage_alignn_golden(opts: dict | None = None) -> None:
     """Download published ALIGNN checkpoints and capture DGL-vs-native golden
     outputs — the validation the in-repo NumPy oracle cannot provide."""
+    o = _opts(opts, tasks="band_gap,formation_energy,bulk_modulus")
     out = os.path.join(OUT, "alignn_goldens.json")
     if os.path.exists(out):
         print(f"[alignn_golden] {out} exists; skip")
@@ -105,15 +121,19 @@ def stage_alignn_golden() -> None:
 
     ckpt_dir = snapshot_download("jwchen25/MatInvent", allow_patterns="prop_pred/*")
 
+    from matinvent_tpu.chem.data import Z_BY_SYMBOL
     from matinvent_tpu.chem.structure import Structure
 
-    strucs = [Structure(l, s, f) for l, s, f in GOLDEN_STRUCTURES]
+    strucs = [
+        Structure(l, [Z_BY_SYMBOL[sp] for sp in s], f)
+        for l, s, f in GOLDEN_STRUCTURES
+    ]
 
     # native forward over every resolvable task
     from matinvent_tpu.rewards.calculators.alignn.calc import ALIGNN
 
     native = {}
-    for task in ("band_gap", "formation_energy", "bulk_modulus"):
+    for task in o["tasks"].split(","):
         try:
             calc = ALIGNN(root_dir=OUT, task=task, model_dir=ckpt_dir)
             native[task] = [float(v) for v in calc.calc((strucs, None), "golden")]
@@ -132,9 +152,11 @@ def stage_alignn_golden() -> None:
         ):
             vals = []
             for s in strucs:
+                from matinvent_tpu.chem.data import SYMBOLS
+
                 atoms = Atoms(
                     lattice_mat=s.lattice.tolist(),
-                    elements=[sp for sp in s.species],
+                    elements=[SYMBOLS[int(z)] for z in s.species],
                     coords=s.frac_coords.tolist(),
                     cartesian=False,
                 )
@@ -158,9 +180,15 @@ def stage_alignn_golden() -> None:
                 print(f"[alignn_golden] {task}: max rel dev native-vs-DGL = {rel:.4f}")
 
 
-def stage_distill() -> None:
+def stage_distill(opts: dict | None = None) -> None:
     """Download a published MatterGen checkpoint and run the real
     distillation (exercises _builder_mattergen_wheel for the first time)."""
+    o = _opts(
+        opts,
+        steps=8000, batch=64, hidden=256, layers=6, timesteps=1000,
+        max_atoms=20,
+        corpus=os.path.join("experiments", "data", "reference.extxyz"),
+    )
     out_dir = os.path.join(OUT, "distilled_mattergen_base")
     if os.path.exists(os.path.join(out_dir, "params.msgpack")):
         print(f"[distill] {out_dir} exists; skip")
@@ -168,28 +196,30 @@ def stage_distill() -> None:
     from huggingface_hub import hf_hub_download  # noqa: external
 
     ckpt = hf_hub_download("microsoft/mattergen", "checkpoints/mattergen_base/last.ckpt")
-    corpus = os.path.join("experiments", "data", "reference.extxyz")
     subprocess.run(
         [sys.executable, os.path.join("tools", "distill_mattergen.py"),
-         f"teacher={ckpt}", f"corpus={corpus}", f"out={out_dir}",
-         "steps=8000", "batch=64", "hidden=256", "layers=6", "timesteps=1000",
-         "max_atoms=20"],
+         f"teacher={ckpt}", f"corpus={o['corpus']}", f"out={out_dir}",
+         f"steps={o['steps']}", f"batch={o['batch']}", f"hidden={o['hidden']}",
+         f"layers={o['layers']}", f"timesteps={o['timesteps']}",
+         f"max_atoms={o['max_atoms']}"],
         check=True,
     )
     print(f"[distill] wrote {out_dir} (see distill_summary.json for held-out match)")
 
 
-def stage_rl_smoke() -> None:
+def stage_rl_smoke(opts: dict | None = None) -> None:
     """One RL iteration: distilled published model + published-ALIGNN reward."""
+    o = _opts(opts, overrides="")
     import main as cli
 
     ckpt_dir = os.path.join(OUT, "distilled_mattergen_base")
     if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
         raise SystemExit("[rl_smoke] run stage `distill` first")
+    extra = [s for s in o["overrides"].split(";") if s]
     cli.main([
         f"results_dir={OUT}", "expname=rl_smoke", "rl_epoch=1", "eval_size=16",
         "model=mattergen", f"model.model_path={ckpt_dir}",
-        "reward=band_gap_alignn", "logger=csv",
+        "reward=band_gap_alignn", "logger=csv", *extra,
     ])
     print(f"[rl_smoke] artifacts under {os.path.join(OUT, 'rl_smoke')}")
 
@@ -209,7 +239,11 @@ def main(argv: list[str]) -> None:
         return
     names = kv.get("stages", ",".join(STAGES)).split(",")
     for name in names:
-        STAGES[name]()
+        stage_opts = {
+            k.split(".", 1)[1]: v for k, v in kv.items()
+            if k.startswith(name + ".")
+        }
+        STAGES[name](stage_opts)
 
 
 if __name__ == "__main__":

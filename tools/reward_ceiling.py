@@ -187,6 +187,7 @@ def main(argv: list[str]) -> None:
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
+        fh.write("\n")
     print(f"[ceiling] wrote {out_path}")
 
 
