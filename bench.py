@@ -123,6 +123,13 @@ def bench_mattergen() -> dict:
     cfg = MatterGenConfig(
         hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
         n_corrector=1, sample_dtype="bfloat16",
+        # fused Pallas edge chain (ops/fused_edge.py) — measured 3.6x SLOWER
+        # than the XLA path on v5e (53.8 vs 194.5 structs/s, PARITY.md r5
+        # A/B); off by default, MATINVENT_FUSED_EDGE=1 reproduces the A/B
+        fused_edge_sampling=os.environ.get("MATINVENT_FUSED_EDGE", "0") == "1",
+        # 'knn' A/Bs the reference's other edge style at the headline point
+        # (dense-masked: same tensors, different mask — PARITY.md r5)
+        edge_style=os.environ.get("MATINVENT_EDGE_STYLE", "fc"),
     )
     diffusion = MatterGenDiffusion(cfg)
     params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)
@@ -237,6 +244,147 @@ def bench_diffcsp() -> dict:
     }
 
 
+def bench_rl_iter() -> dict:
+    """BENCH_MODE=rl_iter: one full RL iteration at the reference operating
+    point, phase-attributed (VERDICT r4 #7).
+
+    Operating point (reference: configs/base.yaml:7,12 + configs/pipeline/
+    mat_invent.yaml:30-34 + configs/model/mattergen.yaml:7-13): sample 64
+    crystals x 1000 PC steps (flagship h256/L6, bf16), SMACT+structural
+    invalid filter, HHI reward (pure-host empirical calculator), finetune
+    3 epochs x 1000 timesteps with grad-accum 50 on 26 crystals (top-16 +
+    replay-10) at lr 1e-5, sigma_kl 0.1. Params are randomly initialized —
+    every phase does identical work regardless of weights; survivors of the
+    invalid filter are recorded, and scoring/finetune fall back to the full
+    batch if the filter rejects everything (noted in the JSON).
+
+    Completion forcing: sampling ends in a host conversion; the finetune
+    phase fetches one param element (block_until_ready does not await
+    execution on the axon relay — see experiments/profile_step_r5.py).
+    """
+    import numpy as np
+
+    from matinvent_tpu.models.mattergen.diffusion import (
+        MatterGenConfig,
+        MatterGenDiffusion,
+    )
+    from matinvent_tpu.models.mattergen.sample import MatterGenSampler
+    from matinvent_tpu.models.sample import collate_data_list
+    from matinvent_tpu.parallel.train import FinetuneStep
+    from matinvent_tpu.pipeline.filters import invalid_filter
+    from matinvent_tpu.rewards.calculators.empirical import Empirical
+    from matinvent_tpu.rewards.reward import Reward
+
+    # reference operating point by default; env overrides exist so the mode
+    # can be smoke-driven on CPU (tiny shapes) without touching the chip
+    B = int(os.environ.get("BENCH_RL_B", "64"))
+    A = int(os.environ.get("BENCH_RL_A", "20"))
+    T = int(os.environ.get("BENCH_RL_T", "1000"))
+    H = int(os.environ.get("BENCH_RL_H", "256"))
+    L = int(os.environ.get("BENCH_RL_L", "6"))
+    cfg = MatterGenConfig(
+        hidden_dim=H, num_layers=L, time_dim=256, timesteps=T,
+        n_corrector=1, sample_dtype="bfloat16", sample_clip=30.0,
+        fused_edge_sampling=os.environ.get("MATINVENT_FUSED_EDGE", "0") == "1",
+    )
+    diffusion = MatterGenDiffusion(cfg)
+    params = diffusion.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=A)
+    accum = 50 if T % 50 == 0 else T  # tiny-T CPU smokes: one accum chunk
+    ft = FinetuneStep(
+        diffusion, lr=1e-5, timesteps=T, accum_steps=accum, sigma_kl=0.1,
+        epochs=3,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        reward = Reward(
+            root_dir=td,
+            prop_cfg=[dict(
+                name="hhi", calculator=Empirical(root_dir=td, task="hhi"),
+                target="descending", minv=750, maxv=3250,
+            )],
+            reward_threshold=0.8,
+        )
+
+        opt_state = ft.optimizer.init(params)
+        iters = int(os.environ.get("BENCH_RL_ITERS", "2"))
+        runs = []
+        for it in range(iters):
+            phases = {}
+            t_iter = time.perf_counter()
+
+            t0 = time.perf_counter()
+            sampler = MatterGenSampler(
+                batch_size=B, num_batches=1, max_atoms=A,
+                num_atoms_distribution="mp_20", seed=it,
+            )
+            data_list, strucs = sampler.generate(
+                model=(diffusion, params)
+            )
+            phases["sample_s"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            valid_data, valid_strucs = invalid_filter(data_list, strucs)
+            phases["filter_s"] = time.perf_counter() - t0
+            survivors = len(valid_strucs)
+            if survivors == 0:  # random-init model: keep phases honest
+                valid_data, valid_strucs = data_list, strucs
+
+            t0 = time.perf_counter()
+            rewards, _, failed = reward.scoring(
+                (valid_strucs, None), label=f"iter{it}"
+            )
+            phases["score_s"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            order = np.argsort(rewards)[::-1]
+            ft_idx = list(order[:16]) + list(order[:10])  # top-16 + replay-10
+            ft_data = [valid_data[i] for i in ft_idx]
+            ft_rewards = jnp.asarray(
+                np.asarray(rewards)[ft_idx], jnp.float32
+            )
+            batch = collate_data_list(ft_data, max_atoms=A)
+            key = jax.random.PRNGKey(100 + it)
+            for ep in range(ft.epochs):
+                params_new, opt_state, _ = ft.epoch(
+                    params, opt_state, params, batch, ft_rewards,
+                    jax.random.fold_in(key, ep),
+                )
+                params = params_new
+            # force completion (fetch one leaf element)
+            leaf = jax.tree_util.tree_leaves(params)[0]
+            np.asarray(leaf)[(0,) * leaf.ndim]
+            phases["finetune_s"] = time.perf_counter() - t0
+
+            phases = {k: round(v, 3) for k, v in phases.items()}
+            runs.append(dict(
+                iter=it, total_s=round(time.perf_counter() - t_iter, 3),
+                survivors=survivors, **phases,
+            ))
+
+    final = runs[-1]  # first iteration carries the compiles
+    device_s = final["sample_s"] + final["finetune_s"]
+    return {
+        "metric": "rl_iteration_seconds_reference_operating_point",
+        "value": final["total_s"],
+        "unit": (
+            f"s/RL-iteration (sample {B} x {T} PC steps h{H}/L{L} bf16 + "
+            f"invalid filter + HHI reward + finetune 3x{T} accum {accum} "
+            "on 26 crystals)"
+        ),
+        "vs_baseline": round(3600.0 / final["total_s"], 1),  # RL iters/hr
+        "phases": final,
+        "device_work_s": round(device_s, 3),
+        "iters_per_hour": round(3600.0 / final["total_s"], 1),
+        "all_runs": runs,
+        "note": (
+            "first run includes compiles and is excluded; survivors is the "
+            "invalid-filter pass count on the random-init model (phases do "
+            "identical work regardless of weights)"
+        ),
+    }
+
+
 def _probe_backend(timeout_s: int = 300) -> bool:
     """Fail fast when the axon relay is unreachable: backend init otherwise
     blocks indefinitely and the driver records a hang instead of a result.
@@ -256,7 +404,9 @@ def _probe_backend(timeout_s: int = 300) -> bool:
 
 def main() -> None:
     mode = os.environ.get("BENCH_MODEL", "mattergen")
-    if mode != "diffcsp":
+    if os.environ.get("BENCH_MODE") == "rl_iter":
+        mode = "rl_iter"
+    elif mode != "diffcsp":
         mode = "mattergen"
     if not _probe_backend():
         print(json.dumps({
@@ -267,7 +417,11 @@ def main() -> None:
             "error": "backend_init_timeout",
         }))
         raise SystemExit(1)
-    result = bench_diffcsp() if mode == "diffcsp" else bench_mattergen()
+    result = {
+        "diffcsp": bench_diffcsp,
+        "mattergen": bench_mattergen,
+        "rl_iter": bench_rl_iter,
+    }[mode]()
     print(json.dumps(result))
 
 

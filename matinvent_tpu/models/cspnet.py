@@ -43,6 +43,26 @@ def sinusoids_embedding(x: jax.Array, n_frequencies: int = 10) -> jax.Array:
     return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only twin of ``nn.Dense`` (same scope/param names), so the
+    fused-kernel path can hand the raw kernel/bias to Pallas while staying
+    checkpoint-compatible with the XLA path's ``nn.Dense``."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class CSPLayer(nn.Module):
     """One message-passing layer over the dense masked edge tensor."""
 
@@ -52,6 +72,10 @@ class CSPLayer(nn.Module):
     ln: bool = False
     ip: bool = True
     dtype: object = jnp.float32  # activation/compute dtype; params stay f32
+    # Fuse the whole edge branch (Fourier emb -> edge_mlp_0 -> silu ->
+    # edge_mlp_1 -> silu -> masked mean) into one Pallas kernel — fc edges
+    # only (separable mask); used by the sampling nets, never under grad.
+    fused_edge: bool = False
 
     @nn.compact
     def __call__(
@@ -62,6 +86,8 @@ class CSPLayer(nn.Module):
         edge_mask: jax.Array,  # [B, A, A] bool: j is a neighbor of i
         denom: jax.Array,  # [B, A] aggregation denominator per node
         dist_emb: jax.Array | None = None,  # precomputed edge features
+        frac_coords: jax.Array | None = None,  # [B, A, 3] (fused path)
+        mask: jax.Array | None = None,  # [B, A] atom mask (fused path)
     ) -> jax.Array:
         H = self.hidden_dim
         dis_dim = self.num_freqs * 2 * 3 if self.use_dis_emb else 3
@@ -79,13 +105,22 @@ class CSPLayer(nn.Module):
         # [E, 60] materialization per layer ~30% of the step's HBM bytes) —
         # bit-identical math, computed once per net eval instead of once per
         # layer (experiments/results/profile_step_r4.json).
-        if dist_emb is not None:
-            dist = dist_emb
+        fused = (
+            self.fused_edge
+            and self.use_dis_emb
+            and frac_coords is not None
+            and mask is not None
+        )
+        if fused:
+            dist = None  # computed in-register inside the kernel
+        elif dist_emb is not None:
+            dist = dist_emb.astype(self.dtype)
         elif self.use_dis_emb:
-            dist = sinusoids_embedding(frac_diff.astype(jnp.float32), self.num_freqs)
+            dist = sinusoids_embedding(
+                frac_diff.astype(jnp.float32), self.num_freqs
+            ).astype(self.dtype)
         else:
-            dist = frac_diff
-        dist = dist.astype(self.dtype)
+            dist = frac_diff.astype(self.dtype)
 
         if self.ip:
             lattice_ips = jnp.einsum(
@@ -112,25 +147,51 @@ class CSPLayer(nn.Module):
         term_i = node_features @ w_i  # [B, A, H] -> broadcast over j
         term_j = node_features @ w_j  # [B, A, H] -> broadcast over i
         term_l = lattice_flat @ w_l  # [B, H]
-        term_d = dist @ w_d  # [B, A, A, H] (the only true edge matmul)
-        edge = (
-            term_i[:, :, None, :]
-            + term_j[:, None, :, :]
-            + term_l[:, None, None, :]
-            + term_d
-            + b
-        )
-        edge = nn.silu(edge)
-        edge = nn.silu(nn.Dense(H, name="edge_mlp_1", dtype=self.dtype)(edge))
+        if fused:
+            # the whole edge branch in one Pallas kernel: the [E, H]
+            # intermediates never touch HBM (see ops/fused_edge.py). Param
+            # names match the nn.Dense of the XLA path 1:1.
+            from matinvent_tpu.ops.fused_edge import fused_edge_chain
 
-        # Aggregate at node i over its neighbors j (scatter-mean parity: for
-        # fc edges denom = num_atoms incl. the self-loop; for knn edges denom =
-        # per-node neighbor count). A mask-weighted dot_general formulation
-        # was A/B'd on v5e and is time-identical (XLA already fuses this
-        # mask+reduce into the edge MLP's consumer chain) — keep the simpler
-        # masked sum.
-        edge = edge * edge_mask[..., None].astype(edge.dtype)
-        agg = jnp.sum(edge, axis=2) / jnp.maximum(denom, 1.0).astype(edge.dtype)[:, :, None]
+            w1, b1 = _DenseParams(
+                in_features=H, features=H, name="edge_mlp_1"
+            )()
+            inv_denom = (
+                mask.astype(jnp.float32) / jnp.maximum(denom, 1.0)
+            )[..., None]
+            agg = fused_edge_chain(
+                term_i + (term_l + b)[:, None, :],
+                term_j,
+                frac_coords,
+                inv_denom,
+                mask.astype(jnp.float32)[..., None],
+                w_d,
+                w1,
+                b1,
+                num_freqs=self.num_freqs,
+            )
+        else:
+            term_d = dist @ w_d  # [B, A, A, H] (the only true edge matmul)
+            edge = (
+                term_i[:, :, None, :]
+                + term_j[:, None, :, :]
+                + term_l[:, None, None, :]
+                + term_d
+                + b
+            )
+            edge = nn.silu(edge)
+            edge = nn.silu(nn.Dense(H, name="edge_mlp_1", dtype=self.dtype)(edge))
+
+            # Aggregate at node i over its neighbors j (scatter-mean parity:
+            # for fc edges denom = num_atoms incl. the self-loop; for knn
+            # edges denom = per-node neighbor count). A mask-weighted
+            # dot_general formulation was A/B'd on v5e and is time-identical
+            # (XLA already fuses this mask+reduce into the edge MLP's
+            # consumer chain) — keep the simpler masked sum.
+            edge = edge * edge_mask[..., None].astype(edge.dtype)
+            agg = jnp.sum(edge, axis=2) / jnp.maximum(denom, 1.0).astype(
+                edge.dtype
+            )[:, :, None]
 
         out = jnp.concatenate([node_features, agg], axis=-1)
         out = nn.silu(nn.Dense(H, name="node_mlp_0", dtype=self.dtype)(out))

@@ -83,6 +83,15 @@ class MatterGenConfig:
     # compute dtype for score-net evals inside the sampling scan (bfloat16
     # roughly doubles MXU throughput; scan state and update math stay f32)
     sample_dtype: str = struct.field(pytree_node=False, default="float32")
+    # 'fc' (reference default) or 'knn' — see MatterGenScoreNet.edge_style
+    edge_style: str = struct.field(pytree_node=False, default="fc")
+    cutoff: float = struct.field(pytree_node=False, default=6.0)
+    max_neighbors: int = struct.field(pytree_node=False, default=20)
+    # route the sampling net's edge branch through the fused Pallas kernel
+    # (ops/fused_edge.py): the [E, H] edge intermediates stay in VMEM
+    # instead of round-tripping HBM. Sampling scan only — the training nets
+    # (grad paths) always use the XLA layer.
+    fused_edge_sampling: bool = struct.field(pytree_node=False, default=False)
 
 
 class MatterGenDiffusion:
@@ -101,12 +110,32 @@ class MatterGenDiffusion:
             type_vocab=self.d3pm.vocab,
             num_freqs=c.num_freqs,
             condition_fields=tuple(c.condition_fields),
+            edge_style=c.edge_style,
+            cutoff=c.cutoff,
+            max_neighbors=c.max_neighbors,
         )
         # dtype-variant for the sampling scan (same params; activations cast)
-        self.sample_net = (
+        self.sample_net_plain = (
             self.net.clone(dtype=jnp.dtype(c.sample_dtype))
             if c.sample_dtype != "float32"
             else self.net
+        )
+        # The fused-edge variant is used ONLY by the plain sampling scan:
+        # DDPO needs (a) grads through forward_logprob and (b) bit-identical
+        # behavior-policy replay, so record_traj sampling and forward_logprob
+        # stay on the plain (XLA) variant — the Pallas kernel defines no VJP
+        # and is not bit-identical to the XLA chain.
+        if c.fused_edge_sampling and c.edge_style != "fc":
+            raise ValueError(
+                "fused_edge_sampling requires the fc edge style "
+                "(the kernel assumes a separable atom mask)"
+            )
+        self.sample_net = (
+            self.net.clone(
+                dtype=jnp.dtype(c.sample_dtype), fused_edge=True
+            )
+            if c.fused_edge_sampling
+            else self.sample_net_plain
         )
 
     # ------------------------------------------------------------------ init
@@ -319,11 +348,16 @@ class MatterGenDiffusion:
         )
 
     # --------------------------------------------------------------- sampling
-    def _guided_preds(self, params, noised, num_atoms, mask, conditions, guidance):
+    def _guided_preds(
+        self, params, noised, num_atoms, mask, conditions, guidance, plain=False
+    ):
         """Classifier-free guidance: (1+g)*cond - g*uncond per field.
 
-        Runs on the sampling-dtype net variant (bf16 when configured)."""
-        net = self.sample_net
+        Runs on the sampling-dtype net variant (bf16 when configured).
+        ``plain=True`` forces the non-fused variant (no Pallas kernel):
+        required under grad (forward_logprob) and for record_traj sampling
+        so DDPO's behavior policy and its replay are bit-identical."""
+        net = self.sample_net_plain if plain else self.sample_net
         if not conditions or guidance == 0.0:
             # empty dict guards too: (1+g)x - gx = x but would cost a
             # second identical net eval per step
@@ -411,7 +445,13 @@ class MatterGenDiffusion:
             time_emb = jnp.broadcast_to(tb["time_emb"][None, :], (B, c.time_dim))
             noised = MGNoised(t, time_emb, types_t, pos_t, cell_t)
             return (
-                self._guided_preds(params, noised, num_atoms, mask, conditions, guidance),
+                self._guided_preds(
+                    params, noised, num_atoms, mask, conditions, guidance,
+                    # record_traj feeds DDPO: stay on the plain net so the
+                    # behavior policy is bit-identical to forward_logprob's
+                    # replay (which must differentiate => no Pallas kernel)
+                    plain=record_traj,
+                ),
                 t,
             )
 
@@ -587,9 +627,12 @@ class MatterGenDiffusion:
             # _guided_preds runs the sampling-dtype net variant with the same
             # conditioning/guidance mix the behavior policy used: replay the
             # exact policy or importance ratios start away from 1 at
-            # identical params (dtype rounding, missing condition embeddings)
+            # identical params (dtype rounding, missing condition embeddings).
+            # plain=True: this path differentiates (no Pallas kernel), and
+            # record_traj sampling used the plain net for the same reason.
             preds = self._guided_preds(
-                params, noised, num_atoms, mask, conditions, guidance
+                params, noised, num_atoms, mask, conditions, guidance,
+                plain=True,
             )
             return jax.tree.map(lambda o: o.astype(jnp.float32), preds), t
 

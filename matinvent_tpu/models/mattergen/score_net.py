@@ -76,6 +76,17 @@ class MatterGenScoreNet(nn.Module):
     ln: bool = True
     condition_fields: tuple = ()
     dtype: object = jnp.float32  # activation/compute dtype; params stay f32
+    # route the edge branch through the fused Pallas kernel
+    # (ops/fused_edge.py) — sampling nets only; never under grad
+    fused_edge: bool = False
+    # 'fc' (reference default: every real atom pair) or 'knn' (PBC
+    # min-image radius + rank cutoff, ops/neighbors.radius_knn_mask).
+    # In the dense-masked formulation both styles materialize the same
+    # [B, A, A, .] tensors — knn changes the mask and the aggregation
+    # denominator, not the traffic (measured A/B in PARITY.md r5).
+    edge_style: str = "fc"
+    cutoff: float = 6.0
+    max_neighbors: int = 20
 
     @nn.compact
     def __call__(
@@ -108,17 +119,42 @@ class MatterGenScoreNet(nn.Module):
             jnp.concatenate([node, lat_per_atom.astype(node.dtype)], axis=-1)
         )
 
-        frac_diff = (frac_coords[:, None, :, :] - frac_coords[:, :, None, :]) % 1.0
-        edge_mask = mask[:, :, None] & mask[:, None, :]
-        denom = jnp.broadcast_to(num_atoms.astype(jnp.float32)[:, None], mask.shape)
-        # hoisted once per eval and shared across layers (see CSPLayer):
-        # measured -0.5 GB/step HBM traffic and -220M transcendentals/step
-        # at the bench operating point
-        from matinvent_tpu.models.cspnet import sinusoids_embedding
+        if self.edge_style == "knn":
+            from matinvent_tpu.ops.neighbors import radius_knn_mask
 
-        dist_emb = sinusoids_embedding(
-            frac_diff.astype(jnp.float32), self.num_freqs
-        ).astype(self.dtype)
+            edge_mask = radius_knn_mask(
+                frac_coords, lattice, mask,
+                cutoff=self.cutoff, max_neighbors=self.max_neighbors,
+            )
+            denom = jnp.sum(edge_mask, axis=-1).astype(jnp.float32)
+        elif self.edge_style == "fc":
+            edge_mask = mask[:, :, None] & mask[:, None, :]
+            denom = jnp.broadcast_to(
+                num_atoms.astype(jnp.float32)[:, None], mask.shape
+            )
+        else:
+            raise ValueError(f"unknown edge_style {self.edge_style}")
+        if self.fused_edge and self.edge_style != "fc":
+            raise ValueError(
+                "fused_edge requires the fc edge style (separable mask)"
+            )
+        if self.fused_edge:
+            # the fused kernel recomputes frac_diff + the Fourier embedding
+            # in-register per layer (VPU work traded for the [E, 60+H] HBM
+            # round-trips — see ops/fused_edge.py)
+            frac_diff = dist_emb = None
+        else:
+            frac_diff = (
+                frac_coords[:, None, :, :] - frac_coords[:, :, None, :]
+            ) % 1.0
+            # hoisted once per eval and shared across layers (see CSPLayer):
+            # measured -0.5 GB/step HBM traffic and -220M transcendentals/step
+            # at the bench operating point
+            from matinvent_tpu.models.cspnet import sinusoids_embedding
+
+            dist_emb = sinusoids_embedding(
+                frac_diff.astype(jnp.float32), self.num_freqs
+            ).astype(self.dtype)
 
         for i in range(self.num_layers):
             node = CSPLayer(
@@ -127,8 +163,12 @@ class MatterGenScoreNet(nn.Module):
                 ln=self.ln,
                 ip=True,
                 dtype=self.dtype,
+                fused_edge=self.fused_edge,
                 name=f"layer_{i}",
-            )(node, frac_diff, lattice, edge_mask, denom, dist_emb=dist_emb)
+            )(
+                node, frac_diff, lattice, edge_mask, denom, dist_emb=dist_emb,
+                frac_coords=frac_coords, mask=mask,
+            )
 
         if self.ln:
             node = nn.LayerNorm(name="final_norm", dtype=self.dtype)(node)

@@ -715,3 +715,41 @@ def test_d3pm_t_index_exact_on_sampler_grid():
         idx = np.asarray(d3pm._t_index(grid))
         expected = np.arange(N, 0, -1)
         np.testing.assert_array_equal(idx, expected)
+
+
+class TestEdgeStyleKNN:
+    """The reference's other edge style (knn: PBC min-image radius + rank,
+    /root/reference/models/diffcsp/cspnet.py:238-257) wired through
+    MatterGenConfig. In the dense-masked formulation it changes the mask
+    and aggregation denominator only (PARITY.md r5 A/B)."""
+
+    def test_knn_runs_and_differs_from_fc(self):
+        base = dict(hidden_dim=32, num_layers=2, time_dim=16, timesteps=12)
+        d_fc = MatterGenDiffusion(MatterGenConfig(**base))
+        d_knn = MatterGenDiffusion(
+            MatterGenConfig(**base, edge_style="knn", max_neighbors=3)
+        )
+        params = d_fc.init_params(jax.random.PRNGKey(0), batch_size=2, max_atoms=6)
+        b = make_batch(jax.random.PRNGKey(5))
+        noised, _, _ = d_fc.add_noise(jax.random.PRNGKey(1), b, 4)
+
+        o_fc = jax.jit(
+            lambda p: d_fc.apply_net(p, noised, b.num_atoms, b.mask)
+        )(params)
+        o_knn = jax.jit(
+            lambda p: d_knn.apply_net(p, noised, b.num_atoms, b.mask)
+        )(params)
+        for k in o_fc:
+            assert bool(jnp.all(jnp.isfinite(o_knn[k]))), k
+        # k=3 < num_atoms-1: the restricted neighborhood must change scores
+        assert not np.allclose(
+            np.asarray(o_fc["pos"]), np.asarray(o_knn["pos"]), atol=1e-6
+        )
+
+    def test_fused_edge_requires_fc(self):
+        cfg = MatterGenConfig(
+            hidden_dim=32, num_layers=1, time_dim=16, timesteps=12,
+            edge_style="knn", fused_edge_sampling=True,
+        )
+        with pytest.raises(ValueError, match="fc edge style"):
+            MatterGenDiffusion(cfg)

@@ -361,7 +361,10 @@ class TeacherScoredDiffusion:
 
         class _Hijacked(type(diff)):
             def _guided_preds(self, params, noised, num_atoms, mask,
-                              conditions, guidance):
+                              conditions, guidance, plain=False):
+                # `plain` selects the non-fused net variant in the real
+                # class; irrelevant here — the teacher callback replaces
+                # the net eval entirely.
                 B, A = noised.frac_coords_t.shape[:2]
                 K = self.d3pm.vocab
                 shapes = {
