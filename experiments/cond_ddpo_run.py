@@ -119,6 +119,16 @@ def main(argv: list[str]) -> None:
         if "density mean" in df.columns
         else np.array([])
     )
+    # importance-ratio sanity stats (logged per iteration by ft_step_ddpo):
+    # mean should hover near 1, clip_frac should stay well below 1 — a
+    # broken conditional replay (wrong conditioning/guidance) shows up as
+    # ratios pinned away from 1 from the first update
+    ratio_stats = {
+        f"{c}_{agg}": round(float(getattr(df[c].dropna(), agg)()), 4)
+        for c in ("ddpo_ratio_mean", "ddpo_ratio_max", "ddpo_clip_frac")
+        if c in df.columns
+        for agg in ("mean", "max")
+    }
     summary = dict(
         ckpt=os.path.relpath(ckpt, out_dir),
         target_density=target,
@@ -126,6 +136,7 @@ def main(argv: list[str]) -> None:
         lr=lr,
         ddpo_epochs=ddpo_epochs,
         iterations=len(rewards),
+        **ratio_stats,
         reward_first5_mean=round(float(np.mean(rewards[:5])), 4),
         reward_last5_mean=round(float(np.mean(rewards[-5:])), 4),
         density_first5_mean=(

@@ -133,6 +133,23 @@ class FinetuneStep:
         return params, all_metrics
 
 
+def _ratio_stats(ratio, w, clip_eps):
+    """Importance-ratio sanity stats over the valid transitions of one chunk.
+
+    ``ratio`` is [C, B], ``w`` the [C, 1] validity weight (degenerate
+    transitions masked out). A healthy PPO replay starts with ratios at 1.0
+    exactly (bit-identical behavior-policy replay) and drifts only as the
+    policy updates; ratio_max far above 1+clip_eps or a large clip_frac
+    flags a broken replay (wrong conditioning/guidance, dtype mismatch)."""
+    wb = jnp.broadcast_to(w, ratio.shape)
+    n = jnp.maximum(jnp.sum(wb), 1.0)
+    return dict(
+        ratio_mean=jnp.sum(ratio * wb) / n,
+        ratio_max=jnp.max(ratio * wb),
+        clip_frac=jnp.sum((jnp.abs(ratio - 1.0) > clip_eps) * wb) / n,
+    )
+
+
 class DDPOFinetuneStep:
     """DDPO-style policy-gradient finetune over recorded sampling trajectories.
 
@@ -223,19 +240,35 @@ class DDPOFinetuneStep:
             # reference records log-probs only for t > 1, diffusion.py:355):
             # its replay log-probs are degenerate, so mask it out
             w = (t_step > 1).astype(obj.dtype)[:, None]
-            return -jnp.sum(obj * w) / jnp.maximum(jnp.sum(w) * obj.shape[1], 1.0)
+            loss = -jnp.sum(obj * w) / jnp.maximum(
+                jnp.sum(w) * obj.shape[1], 1.0
+            )
+            return loss, _ratio_stats(ratio, w, self.clip_eps)
+
+        return self._scan_chunks(chunk_loss, params, opt_state, n_chunks)
+
+    def _scan_chunks(self, chunk_loss, params, opt_state, n_chunks):
+        """PPO update over trajectory chunks; aggregates importance-ratio
+        sanity stats across chunks (mean/max ratio, clipped fraction)."""
 
         def chunk_step(carry, c):
             p, o = carry
-            loss, grads = jax.value_and_grad(chunk_loss)(p, c)
+            (loss, aux), grads = jax.value_and_grad(chunk_loss, has_aux=True)(
+                p, c
+            )
             updates, o = self.optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
-            return (p, o), loss
+            return (p, o), (loss, aux)
 
-        (params, opt_state), losses = jax.lax.scan(
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
             chunk_step, (params, opt_state), jnp.arange(n_chunks)
         )
-        return params, opt_state, jnp.mean(losses)
+        stats = dict(
+            ratio_mean=jnp.mean(auxes["ratio_mean"]),
+            ratio_max=jnp.max(auxes["ratio_max"]),
+            clip_frac=jnp.mean(auxes["clip_frac"]),
+        )
+        return params, opt_state, jnp.mean(losses), stats
 
     def run(
         self, params, traj, num_atoms, mask, rewards, baseline=None,
@@ -251,9 +284,13 @@ class DDPOFinetuneStep:
         opt_state = self.optimizer.init(params)
         loss = 0.0
         for _ in range(max(self.epochs, 1)):
-            params, opt_state, loss = self.update(
+            params, opt_state, loss, stats = self.update(
                 params, opt_state, traj, num_atoms, mask, adv, **replay_kwargs
             )
+        # importance-ratio sanity stats of the LAST PPO epoch (the epoch
+        # furthest from the behavior policy — worst-case ratios); read by
+        # the pipeline's metrics logging after each run()
+        self.last_stats = {k: float(v) for k, v in stats.items()}
         return params, float(loss)
 
 
@@ -339,16 +376,9 @@ class MatterGenDDPOStep(DDPOFinetuneStep):
             # the final grid step is deterministic (nz=0 noise, argmax
             # types): its replay log-probs are degenerate, mask it out
             w = (step_i < N - 1).astype(obj.dtype)[:, None]
-            return -jnp.sum(obj * w) / jnp.maximum(jnp.sum(w) * obj.shape[1], 1.0)
+            loss = -jnp.sum(obj * w) / jnp.maximum(
+                jnp.sum(w) * obj.shape[1], 1.0
+            )
+            return loss, _ratio_stats(ratio, w, self.clip_eps)
 
-        def chunk_step(carry, c):
-            p, o = carry
-            loss, grads = jax.value_and_grad(chunk_loss)(p, c)
-            updates, o = self.optimizer.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            return (p, o), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            chunk_step, (params, opt_state), jnp.arange(n_chunks)
-        )
-        return params, opt_state, jnp.mean(losses)
+        return self._scan_chunks(chunk_loss, params, opt_state, n_chunks)

@@ -314,7 +314,13 @@ class MatInvent(ReinL):
             self.agent_params, traj_sel, num_atoms, mask,
             jnp.asarray(rewards, jnp.float32), **replay_kwargs,
         )
-        logging.info(f"DDPO loss: {loss:.5f}")
+        stats = getattr(self.ddpo, "last_stats", None) or {}
+        logging.info(
+            f"DDPO loss: {loss:.5f}"
+            + "".join(f" {k}={v:.4f}" for k, v in stats.items())
+        )
+        # importance-ratio sanity stats (last PPO epoch) into metrics.csv
+        return {f"ddpo_{k}": v for k, v in stats.items()}
 
     def rl_step(self):
         logging.info(f"*****   LOOP {self.step} START   *****")
@@ -400,7 +406,8 @@ class MatInvent(ReinL):
         with self.timer.phase("finetune"):
             if self.finetune_mode == "ddpo":
                 # policy gradients over this iteration's recorded trajectories
-                self.ft_step_ddpo(sample_list, rewards)
+                ddpo_stats = self.ft_step_ddpo(sample_list, rewards)
+                log_dict.update(ddpo_stats or {})
             else:
                 self.ft_step(ft_data, ft_reward, baseline)
 
