@@ -65,12 +65,15 @@ def main(argv: list[str]) -> None:
     if not os.path.exists(energies):
         energies = os.path.join(data, "reference_energies.json")
 
+    # d3pm=absorbing pretrains with the published MatterGen's masked type
+    # chain (the checkpoint's config.yaml is authoritative downstream)
+    d3pm = kv.get("d3pm", "uniform")
     ckpt_dir = os.path.join(out_dir, f"pretrained_geneval{suffix}")
     if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
         _load_demo().pretrain_mattergen(
             corpus, ckpt_dir, steps=steps, timesteps=timesteps,
             batch_size=256, max_atoms=max_atoms, hidden_dim=hidden,
-            num_layers=layers,
+            num_layers=layers, d3pm_kind=d3pm,
         )
     print(f"[gen_eval_run] pretrained: {ckpt_dir}", flush=True)
 

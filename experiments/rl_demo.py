@@ -60,9 +60,12 @@ def make_dataset(path: str, n: int = 400, seed: int = 0) -> None:
 def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
                        timesteps: int = 100, batch_size: int = 128,
                        max_atoms: int = 8, hidden_dim: int = 128,
-                       num_layers: int = 4, lr: float = 1.5e-3) -> None:
+                       num_layers: int = 4, lr: float = 1.5e-3,
+                       **extra_cfg) -> None:
     """The one MatterGen-family pretrain recipe, shared by every experiment
-    driver (rl_predictor_runs.py, gen_eval_run.py import it from here)."""
+    driver (rl_predictor_runs.py, gen_eval_run.py import it from here).
+    ``extra_cfg`` forwards additional MatterGenConfig fields (e.g.
+    d3pm_kind='absorbing' — the published MatterGen's masked type chain)."""
     import jax
     import numpy as np
 
@@ -72,7 +75,7 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
 
     suite = MatterGenSuite(
         model_cfg=dict(hidden_dim=hidden_dim, num_layers=num_layers,
-                       time_dim=128, timesteps=timesteps),
+                       time_dim=128, timesteps=timesteps, **extra_cfg),
         sample_cfg={"max_atoms": max_atoms},
     )
     diffusion, params = suite.load_model()

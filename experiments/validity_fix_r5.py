@@ -66,6 +66,11 @@ def main(argv):
     max_atoms = int(kv.get("max_atoms", 20))
     sample_n = int(kv.get("sample_n", 256))
     seed = int(kv.get("seed", 0))
+    # scratch=1: ignore the warm-start ckpt and pretrain fresh (h256/L6
+    # T=1000 flagship shape) — used with kind=absorbing to A/B the published
+    # MatterGen's masked type chain against the uniform default
+    scratch = kv.get("scratch", "0") not in ("0", "false", "")
+    kind = kv.get("kind", "uniform")
 
     import jax
 
@@ -79,11 +84,21 @@ def main(argv):
     from matinvent_tpu.parallel.pretrain import PretrainTrainer, structures_to_batches
 
     new_ckpt = os.path.join(out_dir, f"pretrained_geneval_r5_{tag}")
-    suite = MatterGenSuite(
-        model_path=ckpt,
-        config_overrides=dict(weight_types=wt, weight_pos=wpos),
-        sample_cfg={"max_atoms": max_atoms},
-    )
+    if scratch:
+        suite = MatterGenSuite(
+            model_cfg=dict(
+                hidden_dim=256, num_layers=6, time_dim=128, timesteps=1000,
+                weight_types=wt, weight_pos=wpos, d3pm_kind=kind,
+            ),
+            sample_cfg={"max_atoms": max_atoms},
+            seed=seed,
+        )
+    else:
+        suite = MatterGenSuite(
+            model_path=ckpt,
+            config_overrides=dict(weight_types=wt, weight_pos=wpos),
+            sample_cfg={"max_atoms": max_atoms},
+        )
     diffusion, params = suite.load_model()
     structures = read_extxyz(corpus)
     print(f"[validity_fix] {len(structures)} corpus structures; "
@@ -120,7 +135,9 @@ def main(argv):
     legs["sample_seconds"] = round(time.time() - t0, 1)
     entry = dict(
         tag=tag, weight_types=wt, weight_pos=wpos, steps=steps, lr=lr,
-        ckpt_in=os.path.relpath(ckpt, out_dir),
+        d3pm_kind=kind, scratch=scratch,
+        corpus=os.path.basename(corpus),
+        ckpt_in=None if scratch else os.path.relpath(ckpt, out_dir),
         ckpt_out=os.path.relpath(new_ckpt, out_dir) if steps > 0 else None,
         **legs,
     )
