@@ -83,6 +83,14 @@ class MatterGenConfig:
     # compute dtype for score-net evals inside the sampling scan (bfloat16
     # roughly doubles MXU throughput; scan state and update math stay f32)
     sample_dtype: str = struct.field(pytree_node=False, default="float32")
+    # D3PM type-sampling temperature for the reverse chain (generation-
+    # quality knob; 1.0 = exact posterior = reference semantics). tau < 1
+    # sharpens each ancestral type draw toward the posterior mode — measured
+    # to raise smact charge-balance validity at a quantified uniqueness cost
+    # (experiments/results/type_temperature_ab_r5.json). Applied identically
+    # in the sampler, the trajectory recorder, and forward_logprob so DDPO
+    # importance ratios stay exact.
+    type_temperature: float = struct.field(pytree_node=False, default=1.0)
     # 'fc' (reference default) or 'knn' — see MatterGenScoreNet.edge_style
     edge_style: str = struct.field(pytree_node=False, default="fc")
     cutoff: float = struct.field(pytree_node=False, default=6.0)
@@ -505,6 +513,9 @@ class MatterGenDiffusion:
             post_logits = self.d3pm.posterior_logits(
                 types_t, preds["atomic_numbers"], t_vec
             )
+            # generation-quality temperature (config docs); argmax at the
+            # final grid step is invariant to it
+            post_logits = post_logits / c.type_temperature
             types_next = jax.random.categorical(kt_, post_logits)
             types_next = jnp.where(
                 last, jnp.argmax(post_logits, axis=-1), types_next
@@ -674,6 +685,10 @@ class MatterGenDiffusion:
             post_logits = self.d3pm.posterior_logits(
                 state["types_in"], preds["atomic_numbers"], t_vec
             )
+            # same temperature as the sampler/recorder: the behavior policy
+            # sampled from the tempered posterior, so the replay must score
+            # under it or importance ratios start away from 1
+            post_logits = post_logits / self.config.type_temperature
             lp_types = nz * graph_mean(
                 jnp.take_along_axis(
                     jax.nn.log_softmax(post_logits),

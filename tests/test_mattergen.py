@@ -717,6 +717,56 @@ def test_d3pm_t_index_exact_on_sampler_grid():
         np.testing.assert_array_equal(idx, expected)
 
 
+class TestTypeTemperature:
+    """Generation-quality knob: tau < 1 sharpens D3PM ancestral type draws.
+    Must (a) concentrate the sampled-type distribution and (b) keep the DDPO
+    replay exact — the recorder and forward_logprob score under the SAME
+    tempered posterior the sampler drew from."""
+
+    def test_low_tau_concentrates_types_and_replay_stays_exact(self):
+        base = dict(hidden_dim=32, num_layers=2, time_dim=16, timesteps=12,
+                    sample_clip=100.0)
+        d = MatterGenDiffusion(MatterGenConfig(**base, type_temperature=0.5))
+        params = d.init_params(jax.random.PRNGKey(0), max_atoms=6)
+        num_atoms = jnp.array([6, 4, 5], jnp.int32)
+        final, traj = d.sample(
+            params, jax.random.PRNGKey(1), num_atoms, max_atoms=6,
+            record_traj=True,
+        )
+        mask = jnp.arange(6)[None, :] < num_atoms[:, None]
+        tables = d._step_tables()
+        for i in (0, 3, d.config.timesteps - 2):
+            state = {
+                k: traj[k][i]
+                for k in ("step", "cell_in", "pos_in", "types_in",
+                          "pos_mid", "cell", "pos", "types")
+            }
+            lp_cell, lp_types, lp_pos, _ = d.forward_logprob(
+                params, state, num_atoms, mask, tables
+            )
+            np.testing.assert_allclose(
+                np.asarray(lp_types), np.asarray(traj["log_prob_types"][i]),
+                rtol=1e-4, atol=1e-4,
+            )
+        # tempered draws must be valid classes on real atoms
+        types = np.asarray(final.atom_types)
+        m = np.asarray(mask)
+        assert ((types[m] >= 1) & (types[m] <= 100)).all()
+
+    def test_tau_one_is_reference_semantics(self):
+        """Same seed, tau=1 config == default config, bit-identical draws."""
+        base = dict(hidden_dim=32, num_layers=1, time_dim=16, timesteps=8)
+        d1 = MatterGenDiffusion(MatterGenConfig(**base))
+        d2 = MatterGenDiffusion(MatterGenConfig(**base, type_temperature=1.0))
+        params = d1.init_params(jax.random.PRNGKey(0), max_atoms=5)
+        na = jnp.array([5, 3], jnp.int32)
+        f1, _ = d1.sample(params, jax.random.PRNGKey(2), na, max_atoms=5)
+        f2, _ = d2.sample(params, jax.random.PRNGKey(2), na, max_atoms=5)
+        np.testing.assert_array_equal(
+            np.asarray(f1.atom_types), np.asarray(f2.atom_types)
+        )
+
+
 class TestEdgeStyleKNN:
     """The reference's other edge style (knn: PBC min-image radius + rank,
     /root/reference/models/diffcsp/cspnet.py:238-257) wired through
