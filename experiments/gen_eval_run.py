@@ -50,6 +50,11 @@ def _load_demo():
 
 def main(argv: list[str]) -> None:
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
+    # dotted (or +dotted) keys forward verbatim as CLI overrides — e.g.
+    # +model.config_overrides.type_temperature=0.7 re-evaluates an existing
+    # checkpoint at a sampler-side type temperature (tau sweep adoption)
+    passthrough = [f"{k}={v}" for k, v in kv.items() if "." in k]
+    kv = {k: v for k, v in kv.items() if "." not in k}
     steps = int(kv.get("steps", 30000))
     timesteps = int(kv.get("timesteps", 1000))
     out_dir = os.path.abspath(kv.get("out", "experiments/results"))
@@ -68,7 +73,11 @@ def main(argv: list[str]) -> None:
     # d3pm=absorbing pretrains with the published MatterGen's masked type
     # chain (the checkpoint's config.yaml is authoritative downstream)
     d3pm = kv.get("d3pm", "uniform")
-    ckpt_dir = os.path.join(out_dir, f"pretrained_geneval{suffix}")
+    # ckpt= evaluates an existing checkpoint (e.g. a tau re-evaluation of
+    # pretrained_geneval_r4 under a different suffix) instead of pretraining
+    ckpt_dir = os.path.abspath(
+        kv.get("ckpt", os.path.join(out_dir, f"pretrained_geneval{suffix}"))
+    )
     if not os.path.exists(os.path.join(ckpt_dir, "params.msgpack")):
         _load_demo().pretrain_mattergen(
             corpus, ckpt_dir, steps=steps, timesteps=timesteps,
@@ -96,7 +105,7 @@ def main(argv: list[str]) -> None:
         # anonymized matching collapses most structures onto a handful of
         # prototypes (which is what the rich-corpus r4 run exists to fix)
         "structure_matcher=disordered,ordered",
-    ])
+    ] + passthrough)
 
     src = os.path.join(gen_dir, "metrics.json")
     dst = os.path.join(out_dir, f"gen_eval_1024{suffix}_metrics.json")

@@ -61,11 +61,17 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
                        timesteps: int = 100, batch_size: int = 128,
                        max_atoms: int = 8, hidden_dim: int = 128,
                        num_layers: int = 4, lr: float = 1.5e-3,
+                       ema_decay: float | None = None,
+                       snapshot_every: int | None = None,
                        **extra_cfg) -> None:
     """The one MatterGen-family pretrain recipe, shared by every experiment
     driver (rl_predictor_runs.py, gen_eval_run.py import it from here).
     ``extra_cfg`` forwards additional MatterGenConfig fields (e.g.
-    d3pm_kind='absorbing' — the published MatterGen's masked type chain)."""
+    d3pm_kind='absorbing' — the published MatterGen's masked type chain).
+    With ``ema_decay`` the saved checkpoint holds the EMA weights (the
+    published MatterGen samples from EMA) and ``snapshot_every`` archives
+    intermediate raw+EMA checkpoints as ``{ckpt_dir}_s{step}[_ema]`` for
+    validity-vs-steps curves."""
     import jax
     import numpy as np
 
@@ -82,10 +88,20 @@ def pretrain_mattergen(data_path: str, ckpt_dir: str, steps: int = 20000,
     structures = read_extxyz(data_path)
     rng = np.random.default_rng(0)
     batches = structures_to_batches(structures, batch_size, max_atoms, rng)
-    trainer = PretrainTrainer(diffusion, lr=lr, total_steps=steps)
+    trainer = PretrainTrainer(
+        diffusion, lr=lr, total_steps=steps, ema_decay=ema_decay,
+    )
+
+    def snapshot(step, p, ema):
+        suite.save_model(jax.device_get(p), f"{ckpt_dir}_s{step}")
+        if ema is not None:
+            suite.save_model(jax.device_get(ema), f"{ckpt_dir}_s{step}_ema")
+
     params, _ = trainer.train(
         params, batches, steps, jax.random.PRNGKey(0),
         log_every=max(steps // 20, 1),
+        snapshot_every=snapshot_every,
+        snapshot_cb=snapshot if snapshot_every else None,
     )
     suite.save_model(params, ckpt_dir)
 

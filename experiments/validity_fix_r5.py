@@ -71,6 +71,11 @@ def main(argv):
     # MatterGen's masked type chain against the uniform default
     scratch = kv.get("scratch", "0") not in ("0", "false", "")
     kind = kv.get("kind", "uniform")
+    # ema=0.9995 samples/saves Polyak-averaged weights (published MatterGen
+    # practice); snap=30000 archives raw+EMA intermediate ckpts as
+    # {new_ckpt}_s{step}[_ema] — each evaluable later via steps=0 ckpt=...
+    ema_decay = float(kv.get("ema", 0)) or None
+    snapshot_every = int(kv.get("snap", 0)) or None
 
     import jax
 
@@ -108,11 +113,21 @@ def main(argv):
     if steps > 0 and not os.path.exists(os.path.join(new_ckpt, "params.msgpack")):
         rng = np.random.default_rng(seed)
         batches = structures_to_batches(structures, batch_size, max_atoms, rng)
-        trainer = PretrainTrainer(diffusion, lr=lr, total_steps=steps)
+        trainer = PretrainTrainer(
+            diffusion, lr=lr, total_steps=steps, ema_decay=ema_decay,
+        )
+
+        def snapshot(step, p, ema_p):
+            suite.save_model(jax.device_get(p), f"{new_ckpt}_s{step}")
+            if ema_p is not None:
+                suite.save_model(jax.device_get(ema_p), f"{new_ckpt}_s{step}_ema")
+
         t0 = time.time()
         params, _ = trainer.train(
             params, batches, steps, jax.random.PRNGKey(seed),
             log_every=max(steps // 10, 1),
+            snapshot_every=snapshot_every,
+            snapshot_cb=snapshot if snapshot_every else None,
         )
         print(f"[validity_fix] trained {steps} steps in "
               f"{time.time() - t0:.0f}s", flush=True)
@@ -135,7 +150,7 @@ def main(argv):
     legs["sample_seconds"] = round(time.time() - t0, 1)
     entry = dict(
         tag=tag, weight_types=wt, weight_pos=wpos, steps=steps, lr=lr,
-        d3pm_kind=kind, scratch=scratch,
+        d3pm_kind=kind, scratch=scratch, ema_decay=ema_decay,
         corpus=os.path.basename(corpus),
         ckpt_in=None if scratch else os.path.relpath(ckpt, out_dir),
         ckpt_out=os.path.relpath(new_ckpt, out_dir) if steps > 0 else None,

@@ -62,8 +62,14 @@ class PretrainTrainer:
         total_steps: int | None = None,
         warmup_steps: int = 200,
         cond_dropout: float = 0.1,
+        ema_decay: float | None = None,
     ):
         self.diffusion = diffusion
+        # Polyak/EMA averaging of the params for sampling (standard practice
+        # for score-based models; the published MatterGen samples from EMA
+        # weights). None (default) disables it — training is then
+        # bit-identical to the pre-EMA trainer.
+        self.ema_decay = ema_decay
         # classifier-free condition dropout for conditional training: the
         # fraction of samples whose condition embedding is replaced by the
         # learned null token (the CFG 'unconditional' signal). Raising it
@@ -100,6 +106,11 @@ class PretrainTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    @partial(jax.jit, static_argnames=("self",), compiler_options=COMPILER_OPTIONS)
+    def ema_update(self, ema, params):
+        d = self.ema_decay
+        return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
     def train(
         self,
         params: Any,
@@ -107,11 +118,18 @@ class PretrainTrainer:
         num_steps: int,
         key: jax.Array,
         log_every: int = 100,
+        snapshot_every: int | None = None,
+        snapshot_cb=None,
     ):
         """Batches may yield ``CrystalBatch`` or ``(CrystalBatch, conditions)``
         tuples — the latter trains conditional models (CFG null tokens learn
-        through the dropout in training_loss)."""
+        through the dropout in training_loss).
+
+        ``snapshot_cb(step, params, ema_params_or_None)`` fires every
+        ``snapshot_every`` steps and at the end (for validity-vs-steps curves
+        and intermediate checkpointing on long runs)."""
         opt_state = self.optimizer.init(params)
+        ema = params if self.ema_decay is not None else None
         history = []
         for i in range(num_steps):
             item = next(batches)
@@ -120,6 +138,8 @@ class PretrainTrainer:
             params, opt_state, metrics = self.step(
                 params, opt_state, batch, sk, conditions
             )
+            if ema is not None:
+                ema = self.ema_update(ema, params)
             if (i + 1) % log_every == 0 or i == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 history.append(m)
@@ -127,4 +147,12 @@ class PretrainTrainer:
                     f"pretrain step {i + 1}/{num_steps}: "
                     + ", ".join(f"{k}={v:.4f}" for k, v in m.items())
                 )
+            if (
+                snapshot_cb is not None
+                and snapshot_every
+                and ((i + 1) % snapshot_every == 0 or i + 1 == num_steps)
+            ):
+                snapshot_cb(i + 1, params, ema)
+        if ema is not None:
+            return ema, history
         return params, history
