@@ -119,6 +119,26 @@ def main(argv: list[str]) -> None:
         if "density mean" in df.columns
         else np.array([])
     )
+    if dens.size == 0:
+        # reward != density (e.g. hhi): the conditioning-held evidence comes
+        # from the archived per-iteration samples — mean density of the
+        # first / last five iterations' eval draws
+        from matinvent_tpu.chem.structure import read_extxyz
+
+        def _mean_density(idxs):
+            vals = []
+            for i in idxs:
+                p = os.path.join(
+                    out_dir, expname, "samples", f"step_{i:04d}_eval.extxyz"
+                )
+                if os.path.exists(p):
+                    vals += [s.density for s in read_extxyz(p)]
+            return np.array(vals)
+
+        first = _mean_density(range(5))
+        last = _mean_density(range(max(iters - 5, 0), iters))
+        if first.size and last.size:
+            dens = np.array([first.mean()] * 5 + [last.mean()] * 5)
     # importance-ratio sanity stats (logged per iteration by ft_step_ddpo):
     # mean should hover near 1, clip_frac should stay well below 1 — a
     # broken conditional replay (wrong conditioning/guidance) shows up as
