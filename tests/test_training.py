@@ -53,6 +53,45 @@ def test_pretrain_loss_decreases(family, threshold):
     assert history[-1]["loss"] < threshold * history[0]["loss"]
 
 
+def test_pretrain_ema_and_snapshots():
+    """EMA returns Polyak-averaged params distinct from raw, tracks them
+    toward the trained weights, and fires snapshot callbacks with both."""
+    diff = DiffCSPDiffusion(
+        DiffCSPConfig(hidden_dim=16, num_layers=1, time_dim=8, timesteps=20)
+    )
+    params = diff.init_params(jax.random.PRNGKey(0))
+    data = make_dataset(8)
+
+    def run(decay):
+        rng = np.random.default_rng(0)
+        batches = structures_to_batches(data, batch_size=4, max_atoms=8, rng=rng)
+        trainer = PretrainTrainer(diff, lr=3e-3, ema_decay=decay)
+        snaps = []
+        out, _ = trainer.train(
+            params, batches, num_steps=10, key=jax.random.PRNGKey(1),
+            log_every=5, snapshot_every=5,
+            snapshot_cb=lambda s, p, e: snaps.append((s, e)),
+        )
+        return out, snaps
+
+    raw, snaps_off = run(None)
+    ema, snaps_on = run(0.5)
+    # ema=None: identical training trajectory, no EMA passed to snapshots
+    assert [s for s, _ in snaps_off] == [5, 10]
+    assert all(e is None for _, e in snaps_off)
+    assert all(e is not None for _, e in snaps_on)
+    l_raw = jax.tree_util.tree_leaves(raw)[0]
+    l_ema = jax.tree_util.tree_leaves(ema)[0]
+    l_init = jax.tree_util.tree_leaves(params)[0]
+    assert not jnp.allclose(l_raw, l_ema)  # averaging actually happened
+    # at decay 0.5 over 10 steps the EMA has all but converged to the raw
+    # trajectory's tail: it must be far closer to the trained weights than
+    # to the init it started from
+    assert float(jnp.abs(l_ema - l_raw).mean()) < 0.5 * float(
+        jnp.abs(l_init - l_raw).mean()
+    )
+
+
 @pytest.mark.slow
 def test_conditional_pretraining_trains_condition_encoders():
     """Conditions threaded through the trainer must move the per-field
