@@ -90,9 +90,13 @@ def main(argv):
 
     new_ckpt = os.path.join(out_dir, f"pretrained_geneval_r5_{tag}")
     if scratch:
+        # hidden=/layers= vary capacity in the scratch A/B (the r5 curve
+        # killed the compute axis; this is the width axis)
         suite = MatterGenSuite(
             model_cfg=dict(
-                hidden_dim=256, num_layers=6, time_dim=128, timesteps=1000,
+                hidden_dim=int(kv.get("hidden", 256)),
+                num_layers=int(kv.get("layers", 6)),
+                time_dim=128, timesteps=1000,
                 weight_types=wt, weight_pos=wpos, d3pm_kind=kind,
             ),
             sample_cfg={"max_atoms": max_atoms},
